@@ -1,0 +1,272 @@
+"""Volumetric ops: coordinate volumes, rotations, and projective unprojection.
+
+Functional parity targets:
+  - rotation matrices / coord-volume rotation
+      (/root/reference/mvn/utils/volumetric.py:87-114) -> :func:`rotation_matrix`,
+      :func:`rotate_coord_volume`
+  - per-sample coordinate volume construction
+      (/root/reference/mvn/models/triangulation.py:281-341) -> :func:`build_coord_volumes`
+  - ``unproject_heatmaps`` (/root/reference/mvn/utils/op.py:99-166)
+      -> :func:`unproject_heatmaps`
+
+TPU-first design notes
+----------------------
+The reference builds coordinate volumes with per-sample Python/numpy code on
+the host every forward (triangulation.py:281-341) and unprojects with a
+Python double loop over batch x views around ``F.grid_sample``
+(op.py:106-147, the author's own "TODO: speed up this loop").  Here both are
+single traced XLA programs over the whole (batch, view, voxel) space:
+
+  * coordinate volumes: one broadcasted iota + per-sample affine + rotation,
+    with the random rotation angle threaded as a PRNG-derived array — no host
+    sync inside ``jit``;
+  * unprojection: one einsum projecting all B*V*64^3 voxel centers, then a
+    vectorized bilinear gather from the (B, V, H, W, C) feature maps and a
+    masked aggregation over views.  Aggregation modes match op.py:149-164
+    (``conf*`` / ``sum`` / ``max`` / ``softmax``).
+
+A fused Pallas kernel for project+sample+aggregate lives in
+``lt_tpu.ops.pallas.unproject``; this module is the XLA reference path and
+the drop-in fallback on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lt_tpu.ops import geometry
+
+
+# ---------------------------------------------------------------------------
+# Rotations
+# ---------------------------------------------------------------------------
+
+
+def rotation_matrix(axis: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about ``axis`` by ``theta`` radians (Euler–Rodrigues form).
+
+    Matches the quaternion-based formula of volumetric.py:87-99 exactly
+    (including its sign convention) so augmentation distributions line up.
+    Batch dims on ``theta`` broadcast; ``axis`` is (..., 3).
+    """
+    axis = jnp.asarray(axis, jnp.float32)
+    axis = axis / jnp.sqrt(jnp.sum(axis * axis, axis=-1, keepdims=True))
+    theta = jnp.asarray(theta, jnp.float32)
+    a = jnp.cos(theta / 2.0)
+    sin_half = jnp.sin(theta / 2.0)
+    b = -axis[..., 0] * sin_half
+    c = -axis[..., 1] * sin_half
+    d = -axis[..., 2] * sin_half
+    aa, bb, cc, dd = a * a, b * b, c * c, d * d
+    bc, ad, ac, ab, bd, cd = b * c, a * d, a * c, a * b, b * d, c * d
+    rows = [
+        jnp.stack([aa + bb - cc - dd, 2 * (bc + ad), 2 * (bd - ac)], axis=-1),
+        jnp.stack([2 * (bc - ad), aa + cc - bb - dd, 2 * (cd + ab)], axis=-1),
+        jnp.stack([2 * (bd + ac), 2 * (cd - ab), aa + dd - bb - cc], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def rotate_coord_volume(coord_volume: jnp.ndarray, theta: jnp.ndarray,
+                        axis: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (..., X, Y, Z, 3) world coordinates. Mirrors volumetric.py:102-114."""
+    rot = rotation_matrix(axis, theta)
+    return jnp.einsum("...ij,...xyzj->...xyzi", rot, coord_volume,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Coordinate volumes
+# ---------------------------------------------------------------------------
+
+
+def build_coord_volumes(base_points: jnp.ndarray, cuboid_side: float,
+                        volume_size: int, thetas: Optional[jnp.ndarray] = None,
+                        axis=(0.0, 0.0, 1.0),
+                        transfer_cmu_to_human36m: bool = False) -> jnp.ndarray:
+    """Build per-sample pelvis-centered coordinate volumes, fully traced.
+
+    Mirrors triangulation.py:281-341: a ``volume_size``^3 grid of world-mm
+    coordinates spanning a cuboid of side ``cuboid_side`` centered (cornered)
+    at ``base_point - side/2``, optionally rotated about the vertical axis
+    through the base point, optionally axis-permuted for CMU->H36M transfer
+    (triangulation.py:336-339).
+
+    Args:
+      base_points: (B, 3) pelvis positions in world mm.
+      cuboid_side: cuboid edge length in mm (e.g. 2500).
+      volume_size: grid resolution S (e.g. 64).
+      thetas: optional (B,) rotation angles (radians). None => no rotation
+        (eval). During training pass ``jax.random.uniform(key, (B,), maxval=2*pi)``.
+      axis: rotation axis — (0,0,1) for 'mpii' kind, (0,1,0) for 'coco'
+        (triangulation.py:323-326).
+
+    Returns:
+      (B, S, S, S, 3) coordinate volumes.
+    """
+    S = volume_size
+    b = base_points.shape[0]
+    sides = jnp.full((3,), cuboid_side, jnp.float32)
+    position = base_points - sides / 2.0  # (B, 3)
+
+    # (S, S, S, 3) integer grid -> world offsets.
+    gx = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 2)
+    grid = jnp.stack([gx, gy, gz], axis=-1) * (cuboid_side / (S - 1))
+
+    coords = position[:, None, None, None, :] + grid[None]  # (B, S, S, S, 3)
+
+    if thetas is not None:
+        center = base_points[:, None, None, None, :]
+        coords = coords - center
+        coords = rotate_coord_volume(coords, thetas[:, None, None, None],
+                                     jnp.asarray(axis, jnp.float32))
+        coords = coords + center
+
+    if transfer_cmu_to_human36m:
+        # Swap x/y grid axes then flip the (new) y axis (triangulation.py:336-339).
+        coords = coords.transpose(0, 2, 1, 3, 4)[:, :, ::-1]
+
+    return coords
+
+
+# ---------------------------------------------------------------------------
+# Bilinear sampling (grid_sample parity) and unprojection
+# ---------------------------------------------------------------------------
+
+
+def bilinear_sample_2d(images: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Bilinear sample channels-last images at continuous pixel coordinates.
+
+    Matches ``F.grid_sample(..., align_corners=True, padding_mode='zeros')``
+    semantics once the caller has converted normalized coords to pixel space:
+    out-of-bounds taps contribute zero.
+
+    Args:
+      images: (..., H, W, C).
+      x, y: (..., N) pixel coordinates (0..W-1 / 0..H-1 in-bounds).
+
+    Returns:
+      (..., N, C) sampled values.
+    """
+    h, w, c = images.shape[-3:]
+    lead = images.shape[:-3]
+    imgs = images.reshape(lead + (h * w, c))
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx = (x - x0).astype(jnp.float32)
+    wy = (y - y0).astype(jnp.float32)
+
+    def tap(xi, yi, weight):
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = yc * w + xc  # (..., N)
+        vals = jnp.take_along_axis(imgs, idx[..., None], axis=-2)
+        return vals * (weight * valid.astype(jnp.float32))[..., None]
+
+    out = (tap(x0, y0, (1 - wx) * (1 - wy))
+           + tap(x1, y0, wx * (1 - wy))
+           + tap(x0, y1, (1 - wx) * wy)
+           + tap(x1, y1, wx * wy))
+    return out
+
+
+def unproject_heatmaps(heatmaps: jnp.ndarray, proj_matrices: jnp.ndarray,
+                       coord_volumes: jnp.ndarray,
+                       volume_aggregation_method: str = "sum",
+                       vol_confidences: Optional[jnp.ndarray] = None,
+                       view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Lift per-view feature maps into per-sample voxel volumes.
+
+    Vectorized equivalent of op.py:99-166. For every voxel center, project
+    through each view's 3x4 matrix keeping the homogeneous depth, mask
+    non-positive depths, bilinearly sample the feature map, and aggregate
+    across views.
+
+    Coordinate normalization note: the reference divides x by
+    ``heatmap_shape[0]`` (height) and y by ``heatmap_shape[1]`` (width)
+    (op.py:128-129) which is only correct for square maps (SURVEY.md §2.5);
+    we use width for x and height for y, identical for the square 96x96 maps
+    the models use. ``align_corners=True`` maps u in [0, W] to pixel
+    u / W * (W - 1).
+
+    Args:
+      heatmaps: (B, V, H, W, C) channels-last per-view features.
+      proj_matrices: (B, V, 3, 4) in heatmap pixel units.
+      coord_volumes: (B, X, Y, Z, 3) world-mm voxel centers.
+      volume_aggregation_method: 'sum' | 'max' | 'softmax' | 'conf' |
+        'conf_norm' (op.py:149-164).
+      vol_confidences: (B, V, C) per-view/channel confidences for 'conf*'.
+      view_mask: optional (B, V) boolean; False views are excluded from the
+        aggregation (static-shape replacement for the reference's ragged
+        collate that drops missing views).
+
+    Returns:
+      (B, C, X, Y, Z) aggregated volumes (channel-major to feed V2V).
+    """
+    b, v, h, w, c = heatmaps.shape
+    xs, ys, zs = coord_volumes.shape[1:4]
+    n = xs * ys * zs
+
+    grid = coord_volumes.reshape(b, n, 3)
+    # Project: (B, V, N, 3) homogeneous image coords.
+    uvw = geometry.project_points(proj_matrices, grid[:, None, :, :],
+                                  convert_back_to_euclidean=False)
+    z = uvw[..., 2]
+    invalid = z <= 0.0                     # op.py:121 — depth must be > 0
+    z_safe = jnp.where(z == 0.0, 1.0, z)   # op.py:123 — only exact zeros
+    u = uvw[..., 0] / z_safe
+    vcoord = uvw[..., 1] / z_safe
+
+    # Normalized->pixel with align_corners=True (see docstring).
+    x_pix = u * ((w - 1) / w)
+    y_pix = vcoord * ((h - 1) / h)
+
+    sampled = bilinear_sample_2d(heatmaps, x_pix, y_pix)  # (B, V, N, C)
+    sampled = jnp.where(invalid[..., None], 0.0, sampled)
+
+    if view_mask is not None:
+        mask = view_mask.astype(jnp.bool_)[:, :, None, None]  # (B, V, 1, 1)
+    else:
+        mask = None
+
+    method = volume_aggregation_method
+    if method.startswith("conf"):
+        conf = vol_confidences[:, :, None, :]  # (B, V, 1, C)
+        if mask is not None:
+            conf = jnp.where(mask, conf, 0.0)
+        volume = (sampled * conf).sum(axis=1)
+    elif method == "sum":
+        if mask is not None:
+            sampled = jnp.where(mask, sampled, 0.0)
+        volume = sampled.sum(axis=1)
+    elif method == "max":
+        if mask is not None:
+            sampled = jnp.where(mask, sampled, -jnp.inf)
+        volume = sampled.max(axis=1)
+        if mask is not None:
+            volume = jnp.where(jnp.isneginf(volume), 0.0, volume)
+    elif method == "softmax":
+        # Softmax over the view axis of the (already depth-masked) values,
+        # then a weighted sum — op.py:156-162 computes the softmax after
+        # zeroing invalid taps, so masked taps join with logit 0.
+        logits = sampled
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e9)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        contrib = jnp.where(mask, sampled, 0.0) if mask is not None else sampled
+        volume = (contrib * weights).sum(axis=1)
+    else:
+        raise ValueError(f"Unknown volume_aggregation_method: {method}")
+
+    # (B, N, C) -> (B, C, X, Y, Z)
+    return volume.swapaxes(1, 2).reshape(b, c, xs, ys, zs)
