@@ -1,0 +1,183 @@
+"""V2V voxel-to-voxel 3D hourglass network.
+
+Functional parity target: /root/reference/mvn/models/v2v.py — ``Basic3DBlock``
+(:7-17), ``Res3DBlock`` (:20-42), ``Pool3DBlock`` (:45-51),
+``Upsample3DBlock`` (:54-66), ``EncoderDecorder`` (:69-138), ``V2VModel``
+(:141-180).
+
+TPU-first design notes
+----------------------
+- NDHWC layout (channels last): 3D convs lower to MXU matmuls over the
+  channel contraction; channels-last keeps the 128-lane axis dense.
+- Optional bfloat16 compute (params and BN stats stay fp32).
+- The encoder halves 64^3 five times down to 2^3; all shapes are static so
+  XLA tiles every conv onto the MXU.
+- Transposed 3D convs (k=2, s=2, p=0) map to ``lax.conv_transpose`` with
+  explicit padding k - 1 - p = 1 per side, doubling each spatial dim exactly
+  like PyTorch's ``ConvTranspose3d(2, 2)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lt_tpu.models.backbone import BatchNorm
+
+
+def _conv3d(features: int, kernel: int, padding: int, use_bias: bool = True,
+            name=None, dtype=jnp.float32) -> nn.Conv:
+    return nn.Conv(features, (kernel, kernel, kernel),
+                   padding=((padding, padding),) * 3, use_bias=use_bias,
+                   name=name, dtype=dtype, param_dtype=jnp.float32)
+
+
+class Basic3DBlock(nn.Module):
+    """conv3d(k) + BN + relu (v2v.py:7-17)."""
+
+    features: int
+    kernel: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = _conv3d(self.features, self.kernel, (self.kernel - 1) // 2,
+                    dtype=self.compute_dtype, name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class Res3DBlock(nn.Module):
+    """Two 3x3x3 convs + (optional 1x1x1 projection) skip (v2v.py:20-42)."""
+
+    features: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        res = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
+                      name="conv1")(x)
+        res = BatchNorm(name="bn1")(res, train)
+        res = nn.relu(res)
+        res = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
+                      name="conv2")(res)
+        res = BatchNorm(name="bn2")(res, train)
+
+        if x.shape[-1] == self.features:
+            skip = x
+        else:
+            skip = _conv3d(self.features, 1, 0, dtype=self.compute_dtype,
+                           name="skip_conv")(x)
+            skip = BatchNorm(name="skip_bn")(skip, train)
+        return nn.relu(res + skip)
+
+
+def pool3d(x, size: int = 2):
+    """Max pool with kernel == stride (v2v.py:45-51)."""
+    return nn.max_pool(x, (size, size, size), strides=(size, size, size))
+
+
+class Upsample3DBlock(nn.Module):
+    """ConvTranspose3d(k=2, s=2) + BN + relu (v2v.py:54-66).
+
+    For k=2, s=2, p=0, PyTorch's transposed conv equals ``lax.conv_transpose``
+    with padding k - 1 - p = 1 per side of the dilated input: output = 2x.
+    """
+
+    features: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (2, 2, 2, self.features, in_features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        pad = 2 - 1 - 0  # k - 1 - p
+        y = jax.lax.conv_transpose(
+            x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
+            strides=(2, 2, 2), padding=((pad, pad),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            transpose_kernel=True)
+        y = y + bias.astype(y.dtype)
+        y = BatchNorm(name="bn")(y, train)
+        return nn.relu(y)
+
+
+class EncoderDecoder(nn.Module):
+    """5-level 3D hourglass with per-level residual skips (v2v.py:69-138)."""
+
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        dt = self.compute_dtype
+        skip1 = Res3DBlock(32, dt, name="skip_res1")(x, train)
+        x = pool3d(x)
+        x = Res3DBlock(64, dt, name="encoder_res1")(x, train)
+        skip2 = Res3DBlock(64, dt, name="skip_res2")(x, train)
+        x = pool3d(x)
+        x = Res3DBlock(128, dt, name="encoder_res2")(x, train)
+        skip3 = Res3DBlock(128, dt, name="skip_res3")(x, train)
+        x = pool3d(x)
+        x = Res3DBlock(128, dt, name="encoder_res3")(x, train)
+        skip4 = Res3DBlock(128, dt, name="skip_res4")(x, train)
+        x = pool3d(x)
+        x = Res3DBlock(128, dt, name="encoder_res4")(x, train)
+        skip5 = Res3DBlock(128, dt, name="skip_res5")(x, train)
+        x = pool3d(x)
+        x = Res3DBlock(128, dt, name="encoder_res5")(x, train)
+
+        x = Res3DBlock(128, dt, name="mid_res")(x, train)
+
+        x = Res3DBlock(128, dt, name="decoder_res5")(x, train)
+        x = Upsample3DBlock(128, dt, name="decoder_upsample5")(x, train)
+        x = x + skip5
+        x = Res3DBlock(128, dt, name="decoder_res4")(x, train)
+        x = Upsample3DBlock(128, dt, name="decoder_upsample4")(x, train)
+        x = x + skip4
+        x = Res3DBlock(128, dt, name="decoder_res3")(x, train)
+        x = Upsample3DBlock(128, dt, name="decoder_upsample3")(x, train)
+        x = x + skip3
+        x = Res3DBlock(128, dt, name="decoder_res2")(x, train)
+        x = Upsample3DBlock(64, dt, name="decoder_upsample2")(x, train)
+        x = x + skip2
+        x = Res3DBlock(64, dt, name="decoder_res1")(x, train)
+        x = Upsample3DBlock(32, dt, name="decoder_upsample1")(x, train)
+        x = x + skip1
+        return x
+
+
+class V2VModel(nn.Module):
+    """Front layers -> hourglass -> back layers -> 1x1x1 output conv.
+
+    Mirrors v2v.py:141-180. Input (B, X, Y, Z, C_in), output
+    (B, X, Y, Z, n_joints).
+    """
+
+    output_channels: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        x = Basic3DBlock(16, 7, dt, name="front_basic")(x, train)
+        x = Res3DBlock(32, dt, name="front_res1")(x, train)
+        x = Res3DBlock(32, dt, name="front_res2")(x, train)
+        x = Res3DBlock(32, dt, name="front_res3")(x, train)
+
+        x = EncoderDecoder(dt, name="encoder_decoder")(x, train)
+
+        x = Res3DBlock(32, dt, name="back_res")(x, train)
+        x = Basic3DBlock(32, 1, dt, name="back_basic1")(x, train)
+        x = Basic3DBlock(32, 1, dt, name="back_basic2")(x, train)
+
+        x = _conv3d(self.output_channels, 1, 0, dtype=dt,
+                    name="output_layer")(x)
+        return x.astype(jnp.float32)

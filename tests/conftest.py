@@ -6,13 +6,18 @@ tests fake an 8-device mesh via xla_force_host_platform_device_count).
 
 import os
 
-# Force CPU: the ambient environment presets JAX_PLATFORMS=axon (real TPU);
-# unit tests must run on the virtual 8-device CPU mesh.
+# Force CPU: the ambient environment presets JAX_PLATFORMS=axon (real TPU)
+# AND its sitecustomize imports jax at interpreter startup, so env vars alone
+# are too late — jax.config.update() still works before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
