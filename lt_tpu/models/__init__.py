@@ -1,1 +1,1 @@
-from lt_tpu.models import backbone, losses, v2v  # noqa: F401
+from lt_tpu.models import backbone, losses, triangulation, v2v  # noqa: F401

@@ -123,7 +123,8 @@ def build_coord_volumes(base_points: jnp.ndarray, cuboid_side: float,
     if thetas is not None:
         center = base_points[:, None, None, None, :]
         coords = coords - center
-        coords = rotate_coord_volume(coords, thetas[:, None, None, None],
+        # thetas (B,) -> rot (B, 3, 3); the einsum handles the grid dims.
+        coords = rotate_coord_volume(coords, thetas,
                                      jnp.asarray(axis, jnp.float32))
         coords = coords + center
 
