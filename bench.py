@@ -1,0 +1,94 @@
+"""Benchmark: 4-view volumetric inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "vol_4view_frames_per_sec_per_chip", "value": N,
+     "unit": "frames/s", "vs_baseline": R}
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` is measured fps divided by an estimated A100 reference fps
+(A100_EST_FPS below): the BASELINE.json north star is >=5x A100
+frames/sec/chip, i.e. vs_baseline >= 5 means target met.
+
+Run: ``python bench.py`` (uses the ambient JAX platform — the real chip
+under axon). ``python bench.py --quick`` shrinks shapes for smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference throughput (PyTorch fp32, batch 10 eval) on A100 for
+# the 4-view volumetric pipeline: ResNet-152 @ 384x384 x 4 views + Python
+# per-sample grid_sample loop + V2V over 64^3. ~500 GFLOPs/frame plus the
+# documented host-loop overhead (op.py:106 "TODO: speed up this loop").
+A100_EST_FPS = 25.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes for a fast smoke run")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.models.triangulation import VolumetricTriangulationNet
+
+    if args.quick:
+        batch, image_size, volume, layers = args.batch or 2, 128, 32, 18
+    else:
+        batch, image_size, volume, layers = args.batch or 8, 384, 64, 152
+    n_views, num_joints = 4, 17
+
+    model = VolumetricTriangulationNet(
+        num_joints=num_joints, num_layers=layers, volume_size=volume,
+        cuboid_side=2500.0, volume_aggregation_method="softmax", kind="mpii",
+        compute_dtype=jnp.bfloat16)
+
+    from __graft_entry__ import _example_batch
+
+    images, proj, keypoints = _example_batch(batch, n_views, image_size,
+                                             num_joints)
+    images = jnp.asarray(images)
+    proj = jnp.asarray(proj)
+    keypoints = jnp.asarray(keypoints)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        images[:1], proj[:1], keypoints[:1])
+
+    @jax.jit
+    def forward(images, proj, keypoints):
+        return model.apply(variables, images, proj, keypoints,
+                           train=False).keypoints_3d
+
+    # Warmup/compile.
+    forward(images, proj, keypoints).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(images, proj, keypoints)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = batch * args.iters / dt
+    result = {
+        "metric": "vol_4view_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / A100_EST_FPS, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

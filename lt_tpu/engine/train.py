@@ -1,0 +1,363 @@
+"""Training/evaluation driver: experiment setup, epoch loops, persistence.
+
+Functional parity target: /root/reference/train.py — ``setup_experiment``
+(:124-151), ``one_epoch`` (:154-365), ``main`` (:383-478) — rebuilt around
+jitted steps (lt_tpu.engine.steps), a device mesh (lt_tpu.parallel), Orbax
+checkpoints with true resume, and host-side data iteration
+(lt_tpu.data.batch.BatchIterator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import time
+from collections import defaultdict
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lt_tpu.data.batch import BatchIterator, prepare_batch
+from lt_tpu.engine import checkpoint as ckpt
+from lt_tpu.engine import factory
+from lt_tpu.engine.steps import TrainState, make_eval_step, make_train_step
+from lt_tpu.parallel import mesh as mesh_lib
+from lt_tpu.utils import cfg as cfg_lib
+
+
+def setup_experiment(config, config_path: str, logdir: str, model_name: str,
+                     is_train: bool = True):
+    """Create the experiment dir + tensorboard writer (train.py:124-151)."""
+    prefix = "" if is_train else "eval_"
+    title = (config.get("title", "") + "_" if config.get("title") else "")
+    experiment_name = "{}{}{}@{}".format(
+        prefix, title, model_name, datetime.now().strftime("%d.%m.%Y-%H.%M.%S"))
+    experiment_dir = os.path.join(logdir, experiment_name)
+    os.makedirs(os.path.join(experiment_dir, "checkpoints"), exist_ok=True)
+    if config_path and os.path.isfile(config_path):
+        shutil.copy(config_path, os.path.join(experiment_dir, "config.yaml"))
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(experiment_dir, "tb"))
+        # Reference swaps these args (train.py:149, SURVEY §2.5); fixed here.
+        writer.add_text("config", cfg_lib.config_to_str(config), 0)
+    except Exception:
+        pass
+    return experiment_dir, writer
+
+
+class MetricLogger:
+    """Tensorboard + JSONL scalar logging (SURVEY.md §5 observability)."""
+
+    def __init__(self, experiment_dir: Optional[str], writer=None):
+        self.writer = writer
+        self.jsonl = None
+        if experiment_dir is not None:
+            self.jsonl = open(os.path.join(experiment_dir, "metrics.jsonl"),
+                              "a")
+
+    def log(self, tag: str, scalars: dict, step: int):
+        for name, value in scalars.items():
+            value = float(value)
+            if self.writer is not None:
+                self.writer.add_scalar(f"{tag}/{name}", value, step)
+        if self.jsonl is not None:
+            record = {"tag": tag, "step": step,
+                      **{k: float(v) for k, v in scalars.items()}}
+            self.jsonl.write(json.dumps(record) + "\n")
+            self.jsonl.flush()
+
+
+def make_datasets(config, is_train: bool = True):
+    """Dataset factory: 'human36m' (reference parity) or 'synthetic'."""
+    kind = config.dataset.kind
+    if kind == "human36m":
+        from lt_tpu.data.human36m import Human36MMultiViewDataset
+
+        def build(split_cfg, train, test):
+            return Human36MMultiViewDataset(
+                h36m_root=split_cfg.h36m_root,
+                labels_path=split_cfg.labels_path,
+                pred_results_path=split_cfg.get("pred_results_path"),
+                image_shape=config.get("image_shape", (256, 256)),
+                train=train, test=test,
+                retain_every_n_frames_in_test=split_cfg.get(
+                    "retain_every_n_frames_in_test", 1),
+                with_damaged_actions=split_cfg.get("with_damaged_actions",
+                                                   False),
+                scale_bbox=split_cfg.get("scale_bbox", 1.5),
+                kind=config.kind,
+                undistort_images=split_cfg.get("undistort_images", False),
+                ignore_cameras=split_cfg.get("ignore_cameras", ()),
+                crop=split_cfg.get("crop", True))
+
+        train_ds = build(config.dataset.train, True, False) if is_train else None
+        val_ds = build(config.dataset.val, False, True)
+        return train_ds, val_ds
+
+    if kind == "synthetic":
+        from lt_tpu.data.synthetic import SyntheticMultiViewDataset
+
+        def build(split_cfg, seed):
+            return SyntheticMultiViewDataset(
+                n_samples=split_cfg.get("n_samples", 128),
+                n_views=config.dataset.get("n_views", 4),
+                num_joints=config.model.backbone.num_joints,
+                image_size=config.get("image_shape", (128, 128))[0],
+                seed=seed)
+
+        train_ds = build(config.dataset.train, 0) if is_train else None
+        val_ds = build(config.dataset.val, 1)
+        return train_ds, val_ds
+
+    raise NotImplementedError(f"Unknown dataset kind: {kind}")
+
+
+def init_model_state(config, model, sample_batch, seed: int = 42
+                     ) -> TrainState:
+    """Initialize variables (+ optionally import reference checkpoints)."""
+    model_name = config.model.name
+    rngs = {"params": jax.random.PRNGKey(seed),
+            "aug": jax.random.PRNGKey(seed + 1)}
+    images = jnp.asarray(sample_batch["images"][:1])
+    proj = jnp.asarray(sample_batch["proj_matrices"][:1])
+    if model_name == "vol":
+        pelvis = jnp.asarray(
+            sample_batch.get("pred_keypoints_3d",
+                             sample_batch["keypoints_3d"])[:1, :, :3])
+        variables = model.init(rngs, images, proj, pelvis)
+    else:
+        variables = model.init(rngs, images, proj)
+    variables = dict(variables)
+    variables.setdefault("batch_stats", {})
+
+    # Backbone-only pretrained weights (pose_resnet.py:338-375).
+    bb = config.model.backbone
+    if bb.get("init_weights") and bb.get("checkpoint"):
+        from lt_tpu.utils import torch_import
+
+        sd = torch_import.load_state_dict(bb.checkpoint)
+        imported = torch_import.import_pose_resnet(
+            sd, num_layers=bb.num_layers, num_joints=bb.num_joints)
+        variables["params"] = {**variables["params"],
+                               "backbone": imported["params"]}
+        variables["batch_stats"] = {**variables["batch_stats"],
+                                    "backbone": imported["batch_stats"]}
+
+    # Whole-model weights (train.py:406-413).
+    if config.model.get("init_weights") and config.model.get("checkpoint"):
+        from lt_tpu.utils import torch_import
+
+        path = config.model.checkpoint
+        if path.endswith(".pth"):
+            sd = torch_import.load_state_dict(path)
+            if model_name == "alg":
+                imported = torch_import.import_algebraic_model(
+                    sd, bb.num_layers, bb.num_joints)
+            elif model_name == "vol":
+                imported = torch_import.import_volumetric_model(
+                    sd, bb.num_layers, bb.num_joints)
+            else:
+                imported = {"params": {"backbone": torch_import.
+                                       import_pose_resnet(
+                                           sd, bb.num_layers, bb.num_joints,
+                                           prefix="backbone.")["params"]},
+                            "batch_stats": {
+                                "backbone": torch_import.import_pose_resnet(
+                                    sd, bb.num_layers, bb.num_joints,
+                                    prefix="backbone.")["batch_stats"]}}
+            variables["params"] = {**variables["params"],
+                                   **imported["params"]}
+            variables["batch_stats"] = {**variables["batch_stats"],
+                                        **imported["batch_stats"]}
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return params, batch_stats
+
+
+def build_train_state(config, params, batch_stats) -> tuple:
+    optimizer = factory.make_optimizer(config, params, config.model.name)
+    opt_state = optimizer.init(params)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    return state, optimizer
+
+
+def _device_batch(batch, config):
+    """Prepared numpy batch -> the dict of arrays the steps consume."""
+    images, kp_gt, validity, proj, view_mask = prepare_batch(batch)
+    out = {"images": jnp.asarray(images),
+           "keypoints_3d": jnp.asarray(np.concatenate([kp_gt, validity], -1)),
+           "keypoints_validity": jnp.asarray(validity),
+           "proj_matrices": jnp.asarray(proj),
+           "view_mask": jnp.asarray(view_mask)}
+    if "pred_keypoints_3d" in batch:
+        out["pred_keypoints_3d"] = jnp.asarray(batch["pred_keypoints_3d"])
+    return out
+
+
+def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
+                config, n_iters_total: int, n_iters_per_epoch=None):
+    """One training epoch (train.py:154-365, is_train branch)."""
+    end = time.time()
+    for i, batch in enumerate(iterator.epoch(epoch)):
+        if n_iters_per_epoch is not None and i >= n_iters_per_epoch:
+            break
+        data_time = time.time() - end
+        device_batch = _device_batch(batch, config)
+        state, metrics = train_step(state, device_batch, rng)
+        if mesh_lib.is_master() and logger is not None:
+            batch_time = time.time() - end
+            logger.log("train", {**{k: float(v) for k, v in metrics.items()},
+                                 "batch_time": batch_time,
+                                 "data_time": data_time,
+                                 "batch_size": batch["images"].shape[0],
+                                 "n_views": batch["images"].shape[1]},
+                       n_iters_total)
+        end = time.time()
+        n_iters_total += 1
+    return state, n_iters_total
+
+
+def eval_epoch(eval_step, state, iterator, config, epoch: int,
+               experiment_dir=None, logger=None, dataset=None,
+               n_iters_total: int = 0):
+    """One eval epoch + dataset.evaluate + results dump (train.py:337-359)."""
+    results = defaultdict(list)
+    metric_means = defaultdict(list)
+    for batch in iterator.epoch(0):
+        device_batch = _device_batch(batch, config)
+        keypoints, metrics = eval_step(state, device_batch)
+        results["keypoints_3d"].append(np.asarray(keypoints))
+        results["indexes"].append(np.asarray(batch["indexes"]))
+        for k, v in metrics.items():
+            metric_means[k].append(float(v))
+
+    results["keypoints_3d"] = np.concatenate(results["keypoints_3d"], axis=0)
+    results["indexes"] = np.concatenate(results["indexes"])
+
+    scalar_metric, full_metric = 0.0, {}
+    if dataset is not None:
+        try:
+            order = np.argsort(results["indexes"])
+            # evaluate() expects predictions aligned with the dataset table.
+            preds = results["keypoints_3d"][order]
+            if len(preds) == len(dataset):
+                scalar_metric, full_metric = dataset.evaluate(preds)
+            else:  # partial eval (drop_last): score what we have
+                scalar_metric, full_metric = _partial_evaluate(
+                    dataset, preds, results["indexes"][order])
+        except Exception as e:  # train.py:342-346 behavior
+            print("Failed to evaluate. Reason:", e)
+
+    if mesh_lib.is_master() and experiment_dir is not None:
+        checkpoint_dir = os.path.join(experiment_dir, "checkpoints",
+                                      f"{epoch:04}")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(os.path.join(checkpoint_dir, "results.pkl"), "wb") as f:
+            pickle.dump(dict(results), f)
+        with open(os.path.join(checkpoint_dir, "metric.json"), "w") as f:
+            json.dump(full_metric, f, indent=4, sort_keys=True, default=float)
+        if logger is not None:
+            epoch_metrics = {k: float(np.mean(v))
+                             for k, v in metric_means.items()}
+            epoch_metrics["dataset_metric"] = scalar_metric
+            logger.log("val_epoch", epoch_metrics, epoch)
+    return scalar_metric, full_metric, results
+
+
+def _partial_evaluate(dataset, preds, indexes):
+    """MPJPE over an index subset (used when drop_last trims the tail)."""
+    gt = np.stack([
+        dataset[int(i)]["keypoints_3d"][:, :3] if not hasattr(
+            dataset, "keypoints_world") else dataset.keypoints_world(int(i))
+        for i in indexes])
+    per_pose = np.sqrt(((gt - preds) ** 2).sum(2)).mean(1)
+    root = 6
+    gt_rel = gt - gt[:, root:root + 1]
+    pr_rel = preds - preds[:, root:root + 1]
+    per_pose_rel = np.sqrt(((gt_rel - pr_rel) ** 2).sum(2)).mean(1)
+    scalar = float(per_pose_rel.mean())
+    return scalar, {"per_pose_error": {"Average": {
+        "Average": float(per_pose.mean())}},
+        "per_pose_error_relative": {"Average": {"Average": scalar}}}
+
+
+def run(config_path: str, logdir: str, eval_only: bool = False,
+        eval_dataset: str = "val", seed: int = 42,
+        max_epochs: Optional[int] = None):
+    """Full driver (train.py:383-478 parity). Returns the final val metric."""
+    config = cfg_lib.load_config(config_path)
+    if config.opt.get("n_objects_per_epoch") is not None:
+        config.opt.n_iters_per_epoch = (config.opt.n_objects_per_epoch
+                                        // config.opt.batch_size)
+
+    model = factory.make_model(config)
+    criterion = factory.make_criterion(config)
+    model_name = config.model.name
+
+    train_ds, val_ds = make_datasets(config, is_train=not eval_only)
+    val_batch_size = config.opt.get("val_batch_size", config.opt.batch_size)
+
+    train_it = None
+    if train_ds is not None:
+        train_it = BatchIterator(
+            train_ds, config.opt.batch_size,
+            shuffle=config.dataset.train.get("shuffle", True), seed=seed,
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
+            randomize_n_views=config.dataset.train.get("randomize_n_views",
+                                                       False),
+            min_n_views=config.dataset.train.get("min_n_views"),
+            max_n_views=config.dataset.train.get("max_n_views"))
+    val_it = BatchIterator(val_ds, val_batch_size, shuffle=False, seed=seed)
+
+    sample_batch = next(val_it.epoch(0))
+    params, batch_stats = init_model_state(config, model, sample_batch, seed)
+    state, optimizer = build_train_state(config, params, batch_stats)
+
+    train_step = make_train_step(model, model_name, criterion, optimizer,
+                                 config)
+    eval_step = make_eval_step(model, model_name, criterion, config)
+
+    experiment_dir, writer = (None, None)
+    if mesh_lib.is_master():
+        experiment_dir, writer = setup_experiment(
+            config, config_path, logdir, type(model).__name__,
+            is_train=not eval_only)
+    logger = MetricLogger(experiment_dir, writer)
+    rng = jax.random.PRNGKey(seed)
+
+    if eval_only:
+        it = train_it if eval_dataset == "train" else val_it
+        ds = train_ds if eval_dataset == "train" else val_ds
+        scalar, full, _ = eval_epoch(eval_step, state, it, config, 0,
+                                     experiment_dir, logger, ds)
+        print(f"Eval metric (MPJPE rel, mm): {scalar:.3f}")
+        return scalar
+
+    n_epochs = config.opt.n_epochs if max_epochs is None else min(
+        config.opt.n_epochs, max_epochs)
+    n_iters_total = 0
+    scalar = None
+    for epoch in range(n_epochs):
+        state, n_iters_total = train_epoch(
+            train_step, state, train_it, epoch, rng, logger, config,
+            n_iters_total, config.opt.get("n_iters_per_epoch"))
+        scalar, full, _ = eval_epoch(eval_step, state, val_it, config, epoch,
+                                     experiment_dir, logger, val_ds)
+        if mesh_lib.is_master() and experiment_dir is not None:
+            checkpoint_dir = os.path.join(experiment_dir, "checkpoints",
+                                          f"{epoch:04}")
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt.save_checkpoint(checkpoint_dir, state)
+        print(f"epoch {epoch}: val MPJPE rel = {scalar:.3f} mm")
+    return scalar

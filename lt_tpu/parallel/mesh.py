@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers: the DDP/NCCL replacement.
+
+Functional parity target: the reference's distributed stack —
+``init_distributed`` (/root/reference/train.py:368-380),
+``DistributedDataParallel`` wrap (:452-453) and ``DistributedSampler``
+(:68) — rebuilt the TPU way:
+
+- a 1-D ``jax.sharding.Mesh`` over all devices ('data' axis);
+- parameters replicated, batches sharded along 'data';
+- gradient reduction happens inside ``jit``: XLA inserts the ICI all-reduce
+  when replicated params meet sharded data, so there is no hand-written
+  ``pmean`` (and nothing like NCCL process groups to manage);
+- multi-host: ``jax.distributed.initialize()`` + per-host data sharding via
+  ``BatchIterator(shard_id=jax.process_index(), ...)``;
+- the reference's rank-0 master pattern (train.py:387-389) maps to
+  ``is_master()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data"
+              ) -> Mesh:
+    """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Device-put every array in a batch dict with batch-axis sharding."""
+    sharding = batch_sharding(mesh, axis_name)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def is_master() -> bool:
+    """True on the logging/checkpointing host (train.py:387-389 parity)."""
+    return jax.process_index() == 0
+
+
+def initialize_multihost():
+    """Multi-host init (replaces torch.distributed env:// rendezvous).
+
+    No-op on a single process; on TPU pods the coordinator address comes
+    from the environment, so no MASTER_PORT/RANK plumbing is needed.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-process run

@@ -1,0 +1,182 @@
+"""Data layer + engine tests: collate, iterator, synthetic dataset,
+evaluator breakdown, losses factory, end-to-end tiny training run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lt_tpu.data.batch import BatchIterator, collate, prepare_batch
+from lt_tpu.data.synthetic import SyntheticMultiViewDataset
+from lt_tpu.utils import cfg as cfg_lib
+from lt_tpu.utils import img as img_utils
+
+
+def test_crop_image_zero_pads():
+    img = np.arange(5 * 5 * 3, dtype=np.uint8).reshape(5, 5, 3)
+    out = img_utils.crop_image(img, (-2, -2, 3, 3))
+    assert out.shape == (5, 5, 3)
+    assert (out[:2] == 0).all() and (out[:, :2] == 0).all()
+    np.testing.assert_array_equal(out[2:, 2:], img[:3, :3])
+
+
+def test_bbox_utils_match_reference_semantics():
+    assert img_utils.get_square_bbox((0, 0, 10, 4)) == (0, -3, 10, 7)
+    assert img_utils.scale_bbox((0, 0, 10, 10), 2.0) == (-5, -5, 15, 15)
+    # int() truncation like the reference (img.py:61).
+    assert img_utils.scale_bbox((0, 0, 10, 10), 1.25) == (-1, -1, 11, 11)
+
+
+def test_normalize_roundtrip():
+    img = np.random.RandomState(0).randint(0, 255, (8, 8, 3)).astype(np.uint8)
+    norm = img_utils.normalize_image(img)
+    back = img_utils.denormalize_image(norm)
+    np.testing.assert_allclose(back, img, atol=0.5)
+
+
+def test_synthetic_dataset_geometry_consistency():
+    """Rendered blob centers reproject to the GT keypoints."""
+    ds = SyntheticMultiViewDataset(n_samples=4, n_views=3, num_joints=5,
+                                   image_size=96)
+    sample = ds[0]
+    kp = sample["keypoints_3d"][:, :3]
+    for view in range(3):
+        P = sample["proj_matrices"][view]
+        homo = np.hstack([kp, np.ones((5, 1))])
+        uvw = homo @ P.T
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        assert (uv > 4).all() and (uv < 92).all(), "joints out of frame"
+    # Determinism
+    sample2 = ds[0]
+    np.testing.assert_array_equal(sample["keypoints_3d"],
+                                  sample2["keypoints_3d"])
+
+
+def test_collate_and_view_mask():
+    ds = SyntheticMultiViewDataset(n_samples=6, n_views=4, num_joints=5,
+                                   image_size=64)
+    items = [ds[i] for i in range(3)]
+    items[1]["view_valid"][2] = False
+    items[1]["images"][2] = None
+    batch = collate(items)
+    assert batch["images"].shape == (3, 4, 64, 64, 3)
+    assert batch["view_mask"][1, 2] == 0.0
+    assert batch["view_mask"].sum() == 11.0
+    assert (batch["images"][1, 2] == 0).all()
+
+    images, kp, validity, proj, mask = prepare_batch(batch)
+    assert kp.shape == (3, 5, 3) and validity.shape == (3, 5, 1)
+    assert proj.shape == (3, 4, 3, 4)
+
+
+def test_batch_iterator_sharding_partitions():
+    ds = SyntheticMultiViewDataset(n_samples=16, n_views=2, num_joints=3,
+                                   image_size=32)
+    seen = []
+    for shard in range(2):
+        it = BatchIterator(ds, batch_size=2, shuffle=True, seed=7,
+                           shard_id=shard, num_shards=2)
+        for batch in it.epoch(0):
+            seen.extend(batch["indexes"].tolist())
+    assert sorted(seen) == list(range(16))  # exact partition, no overlap
+
+    # set_epoch-style reshuffling changes order.
+    it = BatchIterator(ds, batch_size=2, shuffle=True, seed=7)
+    order0 = [b["indexes"].tolist() for b in it.epoch(0)]
+    order1 = [b["indexes"].tolist() for b in it.epoch(1)]
+    assert order0 != order1
+
+
+def test_randomize_n_views_masks_subset():
+    ds = SyntheticMultiViewDataset(n_samples=4, n_views=4, num_joints=3,
+                                   image_size=32)
+    rng = np.random.RandomState(0)
+    batch = collate([ds[0], ds[1]], randomize_n_views=True, min_n_views=2,
+                    max_n_views=3, rng=rng)
+    kept = batch["view_mask"][0].sum()
+    assert 2 <= kept <= 3
+    # Same subset across the batch (reference picks indexes once per batch).
+    np.testing.assert_array_equal(batch["view_mask"][0],
+                                  batch["view_mask"][1])
+
+
+def test_attrdict_config():
+    c = cfg_lib.AttrDict({"opt": {"lr": 0.1, "nested": {"x": [1, {"y": 2}]}}})
+    assert c.opt.lr == 0.1
+    assert c.opt.nested.x[1].y == 2
+    assert c.opt.get("missing") is None
+    assert c.opt.get("missing", 5) == 5
+    c.opt.new = {"z": 3}
+    assert c.opt.new.z == 3
+    s = cfg_lib.config_to_str(c)
+    assert "lr" in s
+
+
+def test_h36m_evaluator_breakdown():
+    """Evaluator per-action/subject merge logic on a fabricated label set."""
+    from lt_tpu.data.human36m import Human36MMultiViewDataset
+
+    n = 8
+    table = np.zeros(n, dtype=[("subject_idx", int), ("action_idx", int),
+                               ("frame_idx", int),
+                               ("keypoints", np.float32, (17, 3)),
+                               ("bbox_by_camera_tlbr", int, (2, 4))])
+    table["subject_idx"] = [5] * 4 + [6] * 4  # S9, S11
+    table["action_idx"] = [0, 0, 1, 1, 0, 0, 1, 1]
+    rng = np.random.RandomState(0)
+    table["keypoints"] = rng.uniform(-500, 500, (n, 17, 3))
+    table["bbox_by_camera_tlbr"][:, :, 2:] = 100
+
+    labels = {
+        "table": table,
+        "subject_names": ["S1", "S5", "S6", "S7", "S8", "S9", "S11"],
+        "action_names": ["Posing-1", "Posing-2"],
+        "camera_names": ["c0", "c1"],
+        "cameras": np.zeros((7, 2), dtype=[("R", np.float32, (3, 3)),
+                                           ("t", np.float32, (3, 1)),
+                                           ("K", np.float32, (3, 3)),
+                                           ("dist", np.float32, 5)]),
+    }
+    path = "/tmp/_fake_h36m_labels.npy"
+    np.save(path, labels, allow_pickle=True)
+
+    ds = Human36MMultiViewDataset(
+        h36m_root="/nonexistent", labels_path=path, test=True,
+        with_damaged_actions=True, kind="human36m")
+    assert len(ds) == n
+
+    pred = ds.labels["table"]["keypoints"] + 10.0  # uniform +10mm shift
+    scalar, full = ds.evaluate(pred)
+    # Relative error of a constant shift is 0.
+    np.testing.assert_allclose(scalar, 0.0, atol=1e-4)
+    abs_avg = full["per_pose_error"]["Average"]["Average"]
+    np.testing.assert_allclose(abs_avg, np.sqrt(300.0), rtol=1e-4)
+    # Trials merged: 'Posing' exists, 'Posing-1' removed.
+    assert "Posing" in full["per_pose_error"]["Average"]
+    assert "Posing-1" not in full["per_pose_error"]["Average"]
+    # Per-subject breakdown present.
+    assert "S9" in full["per_pose_error"]
+
+
+@pytest.mark.slow
+def test_end_to_end_training_learns(tmp_path):
+    """Tiny algebraic run on synthetic data: loss must drop."""
+    from lt_tpu.engine.train import run
+
+    metric = run("experiments/synthetic/alg_tiny.yaml", str(tmp_path),
+                 max_epochs=1)
+    assert np.isfinite(metric)
+
+    exp_dir = next(p for p in tmp_path.iterdir() if p.is_dir())
+    lines = [json.loads(l) for l in open(exp_dir / "metrics.jsonl")
+             if json.loads(l)["tag"] == "train"]
+    assert len(lines) == 16
+    first, last = lines[0]["total_loss"], lines[-1]["total_loss"]
+    assert last < first, f"loss did not drop: {first} -> {last}"
+    # Checkpoint written and restorable.
+    from lt_tpu.engine import checkpoint as ckpt
+
+    ckdir = ckpt.latest_epoch_dir(str(exp_dir / "checkpoints"))
+    assert ckdir is not None
+    assert os.path.isdir(os.path.join(ckdir, "state"))
