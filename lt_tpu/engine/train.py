@@ -206,8 +206,10 @@ def _device_batch(batch, config):
 
 
 def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
-                config, n_iters_total: int, n_iters_per_epoch=None):
+                config, n_iters_total: int, n_iters_per_epoch=None,
+                eval_step=None):
     """One training epoch (train.py:154-365, is_train branch)."""
+    vis_freq = config.get("vis_freq")
     end = time.time()
     for i, batch in enumerate(iterator.epoch(epoch)):
         if n_iters_per_epoch is not None and i >= n_iters_per_epoch:
@@ -215,7 +217,8 @@ def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
         data_time = time.time() - end
         device_batch = _device_batch(batch, config)
         state, metrics = train_step(state, device_batch, rng)
-        if mesh_lib.is_master() and logger is not None:
+        master = mesh_lib.is_master()
+        if master and logger is not None:
             batch_time = time.time() - end
             logger.log("train", {**{k: float(v) for k, v in metrics.items()},
                                  "batch_time": batch_time,
@@ -223,9 +226,34 @@ def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
                                  "batch_size": batch["images"].shape[0],
                                  "n_views": batch["images"].shape[1]},
                        n_iters_total)
+        if (master and vis_freq and logger is not None
+                and logger.writer is not None and eval_step is not None
+                and n_iters_total % vis_freq == 0):
+            _log_vis_panels(logger.writer, eval_step, state, batch,
+                            device_batch, config, n_iters_total)
         end = time.time()
         n_iters_total += 1
     return state, n_iters_total
+
+
+def _log_vis_panels(writer, eval_step, state, batch, device_batch, config,
+                    step: int):
+    """Tensorboard image panels every vis_freq iters (train.py:271-305)."""
+    try:
+        from lt_tpu.utils import vis
+
+        keypoints, _ = eval_step(state, device_batch)
+        kp_pred = np.asarray(keypoints)
+        n = min(batch["images"].shape[0], config.get("vis_n_elements", 2))
+        for bi in range(n):
+            panel = vis.visualize_batch(
+                batch["images"], None, None, batch["proj_matrices"],
+                batch["keypoints_3d"][:, :, :3], kp_pred,
+                kind=config.get("kind", "human36m"), batch_index=bi)
+            writer.add_image(f"train/keypoints_vis/{bi}",
+                             panel.transpose(2, 0, 1), global_step=step)
+    except Exception as e:  # vis must never take down training
+        print("vis logging failed:", e)
 
 
 def eval_epoch(eval_step, state, iterator, config, epoch: int,
@@ -301,6 +329,11 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         config.opt.n_iters_per_epoch = (config.opt.n_objects_per_epoch
                                         // config.opt.batch_size)
 
+    # Debug sanitizers (replaces the reference's always-on detect_anomaly,
+    # train.py:177): opt-in via config, zero cost when off.
+    if config.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
     model = factory.make_model(config)
     criterion = factory.make_criterion(config)
     model_name = config.model.name
@@ -323,6 +356,15 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     sample_batch = next(val_it.epoch(0))
     params, batch_stats = init_model_state(config, model, sample_batch, seed)
     state, optimizer = build_train_state(config, params, batch_stats)
+
+    # Resume from one of our own checkpoints (full train state, true resume —
+    # the reference can't do this, SURVEY.md §5).
+    resume_path = config.model.get("checkpoint", "")
+    if (config.model.get("init_weights") and resume_path
+            and not resume_path.endswith(".pth")):
+        state = ckpt.restore_checkpoint(resume_path, state, name="")
+        print(f"Resumed train state from {resume_path} "
+              f"(step {int(state.step)})")
 
     train_step = make_train_step(model, model_name, criterion, optimizer,
                                  config)
@@ -351,7 +393,8 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     for epoch in range(n_epochs):
         state, n_iters_total = train_epoch(
             train_step, state, train_it, epoch, rng, logger, config,
-            n_iters_total, config.opt.get("n_iters_per_epoch"))
+            n_iters_total, config.opt.get("n_iters_per_epoch"),
+            eval_step=eval_step)
         scalar, full, _ = eval_epoch(eval_step, state, val_it, config, epoch,
                                      experiment_dir, logger, val_ds)
         if mesh_lib.is_master() and experiment_dir is not None:

@@ -132,6 +132,45 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+class RepeatedBlock(nn.Module):
+    """One residual block inside an ``nn.scan`` repeat.
+
+    The deep trunks repeat the same block shape many times (ResNet-152's
+    layer3 is 36 bottlenecks).  Unrolled, that makes a huge HLO and
+    minutes-long TPU compiles; scanned, the compiler sees ONE block body and
+    a loop.  Parameters/batch stats gain a leading repeat axis (handled by
+    the checkpoint importer).
+    """
+
+    block_kind: str  # 'basic' | 'bottleneck'
+    planes: int
+    caffe_style: bool
+    train: bool
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        if self.block_kind == "basic":
+            y = BasicBlock(self.planes, 1, False, self.compute_dtype,
+                           name="block")(x, self.train)
+        else:
+            y = Bottleneck(self.planes, 1, False, self.caffe_style,
+                           self.compute_dtype, name="block")(x, self.train)
+        return y, None
+
+
+def _scan_repeat(block_kind: str, planes: int, caffe: bool, train: bool,
+                 compute_dtype, length: int, name: str):
+    scanned = nn.scan(
+        RepeatedBlock,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        length=length,
+    )
+    return scanned(block_kind=block_kind, planes=planes, caffe_style=caffe,
+                   train=train, compute_dtype=compute_dtype, name=name)
+
+
 class TransposedConv(nn.Module):
     """PyTorch-equivalent ``ConvTranspose2d(kernel, stride, padding)``.
 
@@ -236,18 +275,20 @@ class PoseResNet(nn.Module):
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), layers)):
             stride = 1 if stage == 0 else 2
-            for i in range(blocks):
-                downsample = i == 0 and (stride != 1
-                                         or inplanes != planes * expansion)
-                name = f"layer{stage + 1}_{i}"
-                if block_kind == "basic":
-                    x = BasicBlock(planes, stride if i == 0 else 1,
-                                   downsample, self.compute_dtype,
-                                   name=name)(x, train)
-                else:
-                    x = Bottleneck(planes, stride if i == 0 else 1,
-                                   downsample, caffe, self.compute_dtype,
-                                   name=name)(x, train)
+            downsample = stride != 1 or inplanes != planes * expansion
+            name = f"layer{stage + 1}_0"
+            if block_kind == "basic":
+                x = BasicBlock(planes, stride, downsample,
+                               self.compute_dtype, name=name)(x, train)
+            else:
+                x = Bottleneck(planes, stride, downsample, caffe,
+                               self.compute_dtype, name=name)(x, train)
+            if blocks > 1:
+                # Remaining identical blocks run under one scanned body
+                # (compile-time lever; see RepeatedBlock).
+                x, _ = _scan_repeat(block_kind, planes, caffe, train,
+                                    self.compute_dtype, blocks - 1,
+                                    f"layer{stage + 1}_rest")(x)
             inplanes = planes * expansion
 
         alg_conf = None

@@ -123,19 +123,43 @@ def import_pose_resnet(sd: Dict[str, np.ndarray], num_layers: int = 152,
 
     expansion = 1 if block_kind == "basic" else 4
     inplanes = 64
+    n_convs = 2 if block_kind == "basic" else 3
     for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), layers)):
         stride = 1 if stage == 0 else 2
-        for i in range(blocks):
-            tname = f"{p}layer{stage + 1}.{i}"
-            fname = f"layer{stage + 1}_{i}"
-            n_convs = 2 if block_kind == "basic" else 3
+        # Block 0 (possibly with downsample projection) keeps its own params.
+        tname = f"{p}layer{stage + 1}.0"
+        fname = f"layer{stage + 1}_0"
+        for ci in range(1, n_convs + 1):
+            w.conv(sd, f"{tname}.conv{ci}", (fname, f"conv{ci}"))
+            w.bn(sd, f"{tname}.bn{ci}", (fname, f"bn{ci}"))
+        if stride != 1 or inplanes != planes * expansion:
+            w.conv(sd, f"{tname}.downsample.0", (fname, "downsample_conv"))
+            w.bn(sd, f"{tname}.downsample.1", (fname, "downsample_bn"))
+
+        # Blocks 1..N-1 are scanned: stack their weights on a leading axis
+        # (matching nn.scan's variable_axes={'params': 0, 'batch_stats': 0}).
+        if blocks > 1:
+            rest = f"layer{stage + 1}_rest"
             for ci in range(1, n_convs + 1):
-                w.conv(sd, f"{tname}.conv{ci}", (fname, f"conv{ci}"))
-                w.bn(sd, f"{tname}.bn{ci}", (fname, f"bn{ci}"))
-            if i == 0 and (stride != 1 or inplanes != planes * expansion):
-                w.conv(sd, f"{tname}.downsample.0",
-                       (fname, "downsample_conv"))
-                w.bn(sd, f"{tname}.downsample.1", (fname, "downsample_bn"))
+                kernels = np.stack([
+                    _conv_w(sd[f"{p}layer{stage + 1}.{i}.conv{ci}.weight"])
+                    for i in range(1, blocks)])
+                _set(w.params, (rest, "block", f"conv{ci}", "kernel"),
+                     kernels)
+                bn = f"bn{ci}"
+                inner = (rest, "block", bn, "BatchNorm_0")
+                _set(w.params, inner + ("scale",), np.stack(
+                    [sd[f"{p}layer{stage + 1}.{i}.{bn}.weight"]
+                     for i in range(1, blocks)]))
+                _set(w.params, inner + ("bias",), np.stack(
+                    [sd[f"{p}layer{stage + 1}.{i}.{bn}.bias"]
+                     for i in range(1, blocks)]))
+                _set(w.batch_stats, inner + ("mean",), np.stack(
+                    [sd[f"{p}layer{stage + 1}.{i}.{bn}.running_mean"]
+                     for i in range(1, blocks)]))
+                _set(w.batch_stats, inner + ("var",), np.stack(
+                    [sd[f"{p}layer{stage + 1}.{i}.{bn}.running_var"]
+                     for i in range(1, blocks)]))
         inplanes = planes * expansion
 
     for i, (conv_idx, bn_idx) in enumerate(((0, 1), (3, 4), (6, 7))):

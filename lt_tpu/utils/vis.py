@@ -1,0 +1,239 @@
+"""Visualization suite: pose overlays, heatmap grids, volume renders.
+
+Functional parity target: /root/reference/mvn/utils/vis.py — skeleton
+connectivity/color tables (:17-74), ``visualize_batch`` (:84-179),
+``visualize_heatmaps`` (:182-220), ``visualize_volumes`` (:223-264),
+``draw_2d_pose`` / ``draw_3d_pose`` (:267-418).
+
+All functions are host-side (numpy + matplotlib Agg) and return HWC uint8
+arrays ready for tensorboard ``add_image``.  Inputs are channels-last
+framework tensors (converted with ``np.asarray`` so jnp arrays work).
+Volume rendering uses per-axis maximum-intensity projections instead of the
+reference's alpha-exploded voxel scatter (:419-462) — same diagnostic value,
+orders faster to draw.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+from matplotlib import pyplot as plt  # noqa: E402
+
+from lt_tpu.utils.img import denormalize_image, resize_image  # noqa: E402
+
+# Standard skeleton edge lists per keypoint convention (dataset facts).
+CONNECTIVITY_DICT = {
+    "cmu": [(0, 2), (0, 9), (1, 0), (1, 17), (2, 12), (3, 0), (4, 3), (5, 4),
+            (6, 2), (7, 6), (8, 7), (9, 10), (10, 11), (12, 13), (13, 14),
+            (15, 1), (16, 15), (17, 18)],
+    "coco": [(0, 1), (0, 2), (1, 3), (2, 4), (5, 7), (7, 9), (6, 8), (8, 10),
+             (11, 13), (13, 15), (12, 14), (14, 16), (5, 6), (5, 11),
+             (6, 12), (11, 12)],
+    "mpii": [(0, 1), (1, 2), (2, 6), (5, 4), (4, 3), (3, 6), (6, 7), (7, 8),
+             (8, 9), (8, 12), (8, 13), (10, 11), (11, 12), (13, 14),
+             (14, 15)],
+    "human36m": [(0, 1), (1, 2), (2, 6), (5, 4), (4, 3), (3, 6), (6, 7),
+                 (7, 8), (8, 16), (9, 16), (8, 12), (11, 12), (10, 11),
+                 (8, 13), (13, 14), (14, 15)],
+    "kth": [(0, 1), (1, 2), (5, 4), (4, 3), (6, 7), (7, 8), (11, 10),
+            (10, 9), (2, 3), (3, 9), (2, 8), (9, 12), (8, 12), (12, 13)],
+}
+
+
+def _default_colors(n_edges: int):
+    cmap = plt.get_cmap("hsv")
+    return [(np.array(cmap(i / max(1, n_edges))[:3]) * 255).astype(int)
+            for i in range(n_edges)]
+
+
+def fig_to_array(fig) -> np.ndarray:
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    plt.close(fig)
+    return buf[..., :3].copy()
+
+
+def draw_2d_pose(keypoints: np.ndarray, ax, kind: str = "human36m",
+                 point_size: int = 20, line_width: int = 2):
+    """Scatter joints + skeleton edges on a matplotlib axis (vis.py:267-294)."""
+    connectivity = CONNECTIVITY_DICT.get(kind, [])
+    keypoints = np.asarray(keypoints)
+    for (i, k) in connectivity:
+        if i < len(keypoints) and k < len(keypoints):
+            xs, ys = ([keypoints[i, 0], keypoints[k, 0]],
+                      [keypoints[i, 1], keypoints[k, 1]])
+            ax.plot(xs, ys, c="red", linewidth=line_width)
+    ax.scatter(keypoints[:, 0], keypoints[:, 1], c="blue", s=point_size)
+
+
+def draw_2d_pose_image(keypoints: np.ndarray, image: np.ndarray,
+                       kind: str = "human36m") -> np.ndarray:
+    """Draw the skeleton directly into an HWC uint8 image (vis.py:297-320)."""
+    out = np.ascontiguousarray(np.asarray(image, np.uint8).copy())
+    connectivity = CONNECTIVITY_DICT.get(kind, [])
+    colors = _default_colors(len(connectivity))
+    try:
+        import cv2
+
+        for e, (i, k) in enumerate(connectivity):
+            p1 = tuple(int(v) for v in keypoints[i, :2])
+            p2 = tuple(int(v) for v in keypoints[k, :2])
+            cv2.line(out, p1, p2, tuple(int(c) for c in colors[e]), 2)
+        for p in keypoints:
+            cv2.circle(out, (int(p[0]), int(p[1])), 3, (255, 255, 255), -1)
+    except Exception:
+        pass
+    return out
+
+
+def draw_3d_pose(keypoints: np.ndarray, ax, kind: str = "human36m",
+                 radius: Optional[float] = None):
+    """3D skeleton on a 3D matplotlib axis (vis.py:323-418)."""
+    connectivity = CONNECTIVITY_DICT.get(kind, [])
+    keypoints = np.asarray(keypoints)
+    for (i, k) in connectivity:
+        if i < len(keypoints) and k < len(keypoints):
+            ax.plot(*[[keypoints[i, c], keypoints[k, c]] for c in range(3)],
+                    c="red")
+    ax.scatter(keypoints[:, 0], keypoints[:, 1], keypoints[:, 2],
+               c="blue", s=10)
+    if radius is not None:
+        center = keypoints.mean(axis=0)
+        for setter, c in ((ax.set_xlim, 0), (ax.set_ylim, 1),
+                          (ax.set_zlim, 2)):
+            setter(center[c] - radius, center[c] + radius)
+
+
+def _project(proj_matrix: np.ndarray, points_3d: np.ndarray) -> np.ndarray:
+    homo = np.hstack([points_3d, np.ones((len(points_3d), 1))])
+    uvw = homo @ np.asarray(proj_matrix).T
+    return uvw[:, :2] / uvw[:, 2:3]
+
+
+def visualize_batch(images: np.ndarray, heatmaps: np.ndarray,
+                    keypoints_2d: Optional[np.ndarray],
+                    proj_matrices: np.ndarray,
+                    keypoints_3d_gt: np.ndarray,
+                    keypoints_3d_pred: np.ndarray,
+                    kind: str = "human36m",
+                    confidences: Optional[np.ndarray] = None,
+                    batch_index: int = 0, size: int = 3,
+                    max_n_cols: int = 10) -> np.ndarray:
+    """Row-per-diagnostic grid for one sample (vis.py:84-179).
+
+    Rows: input views / predicted 2D / GT 3D projected / pred 3D projected
+    (+ confidence bars).  ``images`` are (B, V, H, W, 3) normalized.
+    """
+    images = np.asarray(images[batch_index])
+    n_views = min(images.shape[0], max_n_cols)
+    n_rows = 4 + (1 if confidences is not None else 0)
+
+    fig, axes = plt.subplots(n_rows, n_views,
+                             figsize=(n_views * size, n_rows * size),
+                             squeeze=False)
+    row_names = ["image", "pred 2d", "gt 3d proj", "pred 3d proj"]
+    for v in range(n_views):
+        display = denormalize_image(images[v]).astype(np.uint8)
+        display = display[..., ::-1]  # BGR (dataset convention) -> RGB
+
+        axes[0][v].imshow(display)
+        axes[1][v].imshow(display)
+        if keypoints_2d is not None:
+            draw_2d_pose(np.asarray(keypoints_2d[batch_index, v]),
+                         axes[1][v], kind)
+        axes[2][v].imshow(display)
+        draw_2d_pose(_project(proj_matrices[batch_index, v],
+                              np.asarray(keypoints_3d_gt[batch_index])),
+                     axes[2][v], kind)
+        axes[3][v].imshow(display)
+        draw_2d_pose(_project(proj_matrices[batch_index, v],
+                              np.asarray(keypoints_3d_pred[batch_index])),
+                     axes[3][v], kind)
+        if confidences is not None:
+            conf = np.asarray(confidences[batch_index, v])
+            axes[4][v].bar(range(len(conf)), conf, color="green")
+            axes[4][v].set_ylim(0, 1.0)
+    for r in range(min(len(row_names), n_rows)):
+        axes[r][0].set_ylabel(row_names[r], fontsize=12)
+    for ax_row in axes:
+        for ax in ax_row:
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.tight_layout()
+    return fig_to_array(fig)
+
+
+def visualize_heatmaps(images: np.ndarray, heatmaps: np.ndarray,
+                       kind: str = "human36m", batch_index: int = 0,
+                       size: int = 2, max_n_rows: int = 10,
+                       max_n_cols: int = 10) -> np.ndarray:
+    """Per-view x per-joint heatmap overlays (vis.py:182-220)."""
+    images = np.asarray(images[batch_index])
+    hms = np.asarray(heatmaps[batch_index])
+    n_views = min(images.shape[0], max_n_rows)
+    n_joints = min(hms.shape[1], max_n_cols - 1)
+
+    fig, axes = plt.subplots(n_views, n_joints + 1,
+                             figsize=((n_joints + 1) * size, n_views * size),
+                             squeeze=False)
+    for v in range(n_views):
+        display = denormalize_image(images[v]).astype(np.uint8)[..., ::-1]
+        axes[v][0].imshow(display)
+        for j in range(n_joints):
+            hm = hms[v, j]
+            hm_resized = resize_image(
+                (255 * hm / (hm.max() + 1e-9)).astype(np.uint8),
+                display.shape[:2])
+            axes[v][j + 1].imshow(display)
+            axes[v][j + 1].imshow(hm_resized, alpha=0.5, cmap="hot")
+    for ax_row in axes:
+        for ax in ax_row:
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.tight_layout()
+    return fig_to_array(fig)
+
+
+def visualize_volumes(images: np.ndarray, volumes: np.ndarray,
+                      proj_matrices: np.ndarray, kind: str = "human36m",
+                      batch_index: int = 0, size: int = 2,
+                      max_n_rows: int = 1, max_n_cols: int = 16
+                      ) -> np.ndarray:
+    """Per-joint volume maximum-intensity projections (vis.py:223-264)."""
+    vols = np.asarray(volumes[batch_index])
+    n_joints = min(vols.shape[0], max_n_cols)
+
+    fig, axes = plt.subplots(3, n_joints,
+                             figsize=(n_joints * size, 3 * size),
+                             squeeze=False)
+    for j in range(n_joints):
+        for axis in range(3):
+            mip = vols[j].max(axis=axis)
+            axes[axis][j].imshow(mip, cmap="hot")
+            axes[axis][j].set_xticks([])
+            axes[axis][j].set_yticks([])
+        axes[0][j].set_title(f"j{j}", fontsize=8)
+    fig.tight_layout()
+    return fig_to_array(fig)
+
+
+def draw_voxels(voxels: np.ndarray, ax=None, shape=(8, 8, 8)) -> np.ndarray:
+    """Downsampled voxel scatter render (vis.py:419-462 equivalent)."""
+    voxels = np.asarray(voxels)
+    s = [max(1, voxels.shape[i] // shape[i]) for i in range(3)]
+    small = voxels[::s[0], ::s[1], ::s[2]]
+    own_fig = ax is None
+    if own_fig:
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+    xx, yy, zz = np.nonzero(small > small.mean())
+    vals = small[xx, yy, zz]
+    ax.scatter(xx, yy, zz, c=vals, cmap="hot", alpha=0.5)
+    if own_fig:
+        return fig_to_array(fig)
+    return None
