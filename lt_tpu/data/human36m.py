@@ -46,9 +46,22 @@ class Human36MMultiViewDataset:
                  kind: str = "mpii",
                  undistort_images: bool = False,
                  ignore_cameras=(),
-                 crop: bool = True):
+                 crop: bool = True,
+                 use_native_loader: bool = True):
         assert train or test, "need at least one of train/test"
         assert kind in ("mpii", "human36m")
+
+        # Native C++ fused decode+crop+resize+normalize (lt_tpu/native);
+        # falls back to the cv2/numpy path when unavailable.
+        self._native = None
+        if use_native_loader:
+            try:
+                from lt_tpu import native
+
+                if native.available():
+                    self._native = native
+            except Exception:
+                self._native = None
 
         self.h36m_root = h36m_root
         self.image_shape = None if image_shape is None else tuple(image_shape)
@@ -139,27 +152,42 @@ class Human36MMultiViewDataset:
                 self.h36m_root, subject, action,
                 "imageSequence" + "-undistorted" * self.undistort_images,
                 camera_name, "img_%06d.jpg" % (frame_idx + 1))
-            image = cv2.imread(image_path)  # BGR, like the reference
-            assert image is not None, f"{image_path} doesn't exist"
 
             cam = self.labels["cameras"][shot["subject_idx"], camera_idx]
             R = np.array(cam["R"], np.float32)
             t = np.array(cam["t"], np.float32).reshape(3, 1)
             K = np.array(cam["K"], np.float32).copy()
 
-            if self.crop:
-                image = img_utils.crop_image(image, bbox)
-                K[0, 2] -= bbox[0]
-                K[1, 2] -= bbox[1]
+            image = None
+            if (self._native is not None and self.crop
+                    and self.image_shape is not None and self.norm_image):
+                # Fused native path: decode+crop+resize+normalize in C++.
+                decoded = self._native.decode_jpeg(image_path)
+                if decoded is not None:
+                    image = self._native.process_image(
+                        decoded, bbox, self.image_shape, normalize=True)
+                    K[0, 2] -= bbox[0]
+                    K[1, 2] -= bbox[1]
+                    K[0] *= self.image_shape[1] / (bbox[2] - bbox[0])
+                    K[1] *= self.image_shape[0] / (bbox[3] - bbox[1])
 
-            if self.image_shape is not None:
-                h_before, w_before = image.shape[:2]
-                image = img_utils.resize_image(image, self.image_shape)
-                K[0] *= self.image_shape[1] / w_before
-                K[1] *= self.image_shape[0] / h_before
+            if image is None:  # numpy fallback (reference-equivalent path)
+                image = cv2.imread(image_path)  # BGR, like the reference
+                assert image is not None, f"{image_path} doesn't exist"
 
-            if self.norm_image:
-                image = img_utils.normalize_image(image)
+                if self.crop:
+                    image = img_utils.crop_image(image, bbox)
+                    K[0, 2] -= bbox[0]
+                    K[1, 2] -= bbox[1]
+
+                if self.image_shape is not None:
+                    h_before, w_before = image.shape[:2]
+                    image = img_utils.resize_image(image, self.image_shape)
+                    K[0] *= self.image_shape[1] / w_before
+                    K[1] *= self.image_shape[0] / h_before
+
+                if self.norm_image:
+                    image = img_utils.normalize_image(image)
 
             sample["images"].append(image)
             sample["detections"].append(
