@@ -22,6 +22,18 @@ import time
 
 import numpy as np
 
+
+def _sync(x):
+    """Force remote execution to finish via a scalar device->host fetch.
+
+    ``block_until_ready`` does not synchronize on the axon backend; fetching
+    any output element does.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
 # Estimated reference throughput (PyTorch fp32, batch 10 eval) on A100 for
 # the 4-view volumetric pipeline: ResNet-152 @ 384x384 x 4 views + Python
 # per-sample grid_sample loop + V2V over 64^3. ~500 GFLOPs/frame plus the
@@ -39,6 +51,10 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from lt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from lt_tpu.models.triangulation import VolumetricTriangulationNet
 
@@ -61,23 +77,32 @@ def main():
     proj = jnp.asarray(proj)
     keypoints = jnp.asarray(keypoints)
 
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
         images[:1], proj[:1], keypoints[:1])
 
+    # NOTE: variables must be jit *arguments* — closing over them embeds
+    # every weight as an HLO constant (huge compile requests, slow compiles).
     @jax.jit
-    def forward(images, proj, keypoints):
+    def forward(variables, images, proj, keypoints):
         return model.apply(variables, images, proj, keypoints,
                            train=False).keypoints_3d
 
     # Warmup/compile.
-    forward(images, proj, keypoints).block_until_ready()
+    out = forward(variables, images, proj, keypoints)
+    _sync(out)
+
+    # Estimate the sync round-trip so it can be subtracted.
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync(out)
+    rtt = (time.perf_counter() - t0) / 5
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = forward(images, proj, keypoints)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out = forward(variables, images, proj, keypoints)
+    _sync(out)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     fps = batch * args.iters / dt
     result = {

@@ -19,16 +19,26 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, *args, iters=10):
+def _sync(x):
+    """Scalar device->host fetch: the only reliable sync under axon."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def timed(fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _sync(out)
+    rtt = (time.perf_counter() - t0) / 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    _sync(out)
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / iters, out
 
 
 def main():
@@ -44,6 +54,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _example_batch
     from lt_tpu.models.backbone import PoseResNet
     from lt_tpu.models.v2v import V2VModel
@@ -58,17 +72,17 @@ def main():
 
     backbone = PoseResNet(num_joints=j, num_layers=args.layers,
                           compute_dtype=dtype)
-    bvars = backbone.init(jax.random.PRNGKey(0), images[:1])
+    bvars = jax.jit(backbone.init)(jax.random.PRNGKey(0), images[:1])
 
-    bb = jax.jit(lambda x: backbone.apply(bvars, x, train=False)[1])
-    t_bb, features = timed(bb, images, iters=args.iters)
+    bb = jax.jit(lambda v, x: backbone.apply(v, x, train=False)[1])
+    t_bb, features = timed(bb, bvars, images, iters=args.iters)
 
     import flax.linen as nn
 
     proc = nn.Conv(32, (1, 1), dtype=dtype, param_dtype=jnp.float32)
-    pvars = proc.init(jax.random.PRNGKey(1), features[:1])
-    pf = jax.jit(lambda x: proc.apply(pvars, x))
-    t_proc, feats32 = timed(pf, features, iters=args.iters)
+    pvars = jax.jit(proc.init)(jax.random.PRNGKey(1), features[:1])
+    pf = jax.jit(lambda v, x: proc.apply(v, x))
+    t_proc, feats32 = timed(pf, pvars, features, iters=args.iters)
 
     hm_h = feats32.shape[1]
     feats_views = feats32.reshape((b, v) + feats32.shape[1:])
@@ -84,9 +98,9 @@ def main():
 
     v2v = V2VModel(output_channels=j, compute_dtype=dtype)
     volumes_ndhwc = jnp.moveaxis(volumes, 1, -1)
-    vvars = v2v.init(jax.random.PRNGKey(2), volumes_ndhwc[:1])
-    vv = jax.jit(lambda x: v2v.apply(vvars, x, train=False))
-    t_v2v, out_vol = timed(vv, volumes_ndhwc, iters=args.iters)
+    vvars = jax.jit(v2v.init)(jax.random.PRNGKey(2), volumes_ndhwc[:1])
+    vv = jax.jit(lambda v, x: v2v.apply(v, x, train=False))
+    t_v2v, out_vol = timed(vv, vvars, volumes_ndhwc, iters=args.iters)
 
     sam = jax.jit(lambda vol, c: hm_ops.integrate_tensor_3d_with_coordinates(
         jnp.moveaxis(vol, -1, 1), c)[0])

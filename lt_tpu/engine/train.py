@@ -133,9 +133,9 @@ def init_model_state(config, model, sample_batch, seed: int = 42
         pelvis = jnp.asarray(
             sample_batch.get("pred_keypoints_3d",
                              sample_batch["keypoints_3d"])[:1, :, :3])
-        variables = model.init(rngs, images, proj, pelvis)
+        variables = jax.jit(model.init)(rngs, images, proj, pelvis)
     else:
-        variables = model.init(rngs, images, proj)
+        variables = jax.jit(model.init)(rngs, images, proj)
     variables = dict(variables)
     variables.setdefault("batch_stats", {})
 
@@ -324,6 +324,10 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         eval_dataset: str = "val", seed: int = 42,
         max_epochs: Optional[int] = None):
     """Full driver (train.py:383-478 parity). Returns the final val metric."""
+    from lt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     config = cfg_lib.load_config(config_path)
     if config.opt.get("n_objects_per_epoch") is not None:
         config.opt.n_iters_per_epoch = (config.opt.n_objects_per_epoch

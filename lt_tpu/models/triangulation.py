@@ -192,6 +192,7 @@ class VolumetricTriangulationNet(nn.Module):
     cuboid_side: float = 2500.0
     kind: str = "mpii"
     transfer_cmu_to_human36m: bool = False
+    use_pallas_unproject: bool = True
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -254,10 +255,25 @@ class VolumetricTriangulationNet(nn.Module):
         features = self.process_features(features)
         features = features.reshape((b, v) + features.shape[1:])
 
-        volumes = vol_ops.unproject_heatmaps(
-            features, proj_hm, coord_volumes,
-            volume_aggregation_method=self.volume_aggregation_method,
-            vol_confidences=vol_conf, view_mask=view_mask)
+        if self.use_pallas_unproject and jax.default_backend() != "cpu":
+            # Fused gather-free kernel (lt_tpu.ops.pallas.unproject): the
+            # coordinate volume is affine in the grid index, so the kernel
+            # only needs a 3x4 matrix per (batch, view).
+            from lt_tpu.ops.pallas import unproject as pallas_unproject
+
+            grid_affine = vol_ops.coord_volume_affine(
+                base_points, self.cuboid_side, self.volume_size,
+                rotation_thetas, axis=axis,
+                transfer_cmu_to_human36m=self.transfer_cmu_to_human36m)
+            volumes = pallas_unproject.unproject_heatmaps_affine(
+                features, proj_hm, grid_affine, self.volume_size,
+                volume_aggregation_method=self.volume_aggregation_method,
+                vol_confidences=vol_conf, view_mask=view_mask)
+        else:
+            volumes = vol_ops.unproject_heatmaps(
+                features, proj_hm, coord_volumes,
+                volume_aggregation_method=self.volume_aggregation_method,
+                vol_confidences=vol_conf, view_mask=view_mask)
 
         # (B, C, S, S, S) -> NDHWC for V2V, back to (B, J, S, S, S).
         volumes = jnp.moveaxis(volumes, 1, -1)

@@ -1,0 +1,231 @@
+"""Fused Pallas TPU kernel for projective volume unprojection.
+
+Replaces the XLA gather path of ``lt_tpu.ops.volumetric.unproject_heatmaps``
+for the volumetric model's hot loop (reference op.py:99-166).  XLA lowers the
+bilinear gather to per-element dynamic slices (~370 ms for the flagship
+batch on v5e, 75% of the whole pipeline); this kernel is gather-free.
+
+Key observations
+----------------
+1. The pelvis-centered coordinate volume is an *affine* function of integer
+   grid indices (position + rotation * spacing * g), so the full world->
+   image projection collapses to ONE 3x4 matrix per (batch, view):
+   ``[u, v, w]^T = M @ [gx, gy, gz, 1]^T``.  No coordinate volume tensor is
+   ever materialized for the kernel.
+2. Bilinear sampling is a 2-sparse row mix followed by a 2-sparse column
+   mix.  Per voxel tile, that is two small matmuls on the MXU:
+
+     A (TILE, H)  @  F (H, W*C)      -> row-mixed M (TILE, W*C)
+     (M * Bexp)   @  S (W*C, C)      -> output (TILE, C)
+
+   where A holds the two bilinear row weights per voxel (built from iota
+   compares), ``Bexp`` broadcasts the two column weights across channels,
+   and S is a constant 0/1 channel-summing matrix.  ~4.9 TFLOP(bf16) for
+   the flagship shapes — MXU work instead of 262k serial gathers.
+
+The per-view feature map (H, W*C) stays resident in VMEM across all voxel
+tiles of that (batch, view) — Pallas skips the re-copy when the block index
+map repeats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
+                      height: int, width: int, channels: int):
+    """One (bv, voxel-tile) grid step."""
+    t = pl.program_id(1)
+    wc = width * channels
+
+    # Voxel linear indices for this tile, in (gx, gy, gz) scan order
+    # (gz fastest) matching build_coord_volumes.
+    n = t * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    gz = (n % grid_size).astype(jnp.float32)
+    gy = ((n // grid_size) % grid_size).astype(jnp.float32)
+    gx = (n // (grid_size * grid_size)).astype(jnp.float32)
+
+    # Affine projection: [u, v, w] = M @ [gx, gy, gz, 1].  (TILE, 1) each.
+    def row(i):
+        return (m_ref[0, i, 0] * gx + m_ref[0, i, 1] * gy
+                + m_ref[0, i, 2] * gz + m_ref[0, i, 3])
+
+    u, v, w = row(0), row(1), row(2)
+
+    invalid = w <= 0.0                      # op.py:121
+    w_safe = jnp.where(w == 0.0, 1.0, w)    # op.py:123
+    x = jnp.where(invalid, 0.0, u / w_safe) * ((width - 1) / width)
+    y = jnp.where(invalid, 0.0, v / w_safe) * ((height - 1) / height)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    f = f_ref[0]                            # (H, W*C)
+    f32_mode = f.dtype == jnp.float32
+    dims = (((1,), (0,)), ((), ()))
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(lhs, rhs, dims,
+                                   preferred_element_type=jnp.float32)
+
+    def dot_split(lhs32, rhs32):
+        """~fp32-accurate MXU product via bf16 hi/lo splitting.
+
+        Mosaic only lowers DEFAULT-precision dots (single bf16 pass, ~0.4%
+        error); three split passes recover ~1e-6 relative accuracy for the
+        parity (f32 features) path.
+        """
+        lhs_hi = lhs32.astype(jnp.bfloat16)
+        lhs_lo = (lhs32 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rhs_hi = rhs32.astype(jnp.bfloat16)
+        rhs_lo = (rhs32 - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo)
+                + dot(lhs_lo, rhs_hi))
+
+    # Row one-hot weights A (TILE, H): taps y0 and y0+1, zero out-of-bounds.
+    hh = jax.lax.broadcasted_iota(jnp.int32, (tile, height), 1)
+    a = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
+         + jnp.where(hh == y0i + 1, wy, 0.0))
+    if f32_mode:
+        m = dot_split(a, f)                  # (TILE, W*C)
+    else:
+        m = dot(a.astype(f.dtype), f)
+
+    # Column weights broadcast across channels: lane l covers column l // C.
+    ww = jax.lax.broadcasted_iota(jnp.int32, (tile, wc), 1) // channels
+    bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+            + jnp.where(ww == x0i + 1, wx, 0.0))
+    p = m * bexp                             # (TILE, W*C) f32
+
+    # Constant channel-collapse matrix S (W*C, C): S[w*C + c, c] = 1.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wc, channels), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wc, channels), 1)
+    s = (rows % channels == cols).astype(jnp.bfloat16)  # 0/1: exact in bf16
+    if f32_mode:
+        p_hi = p.astype(jnp.bfloat16)
+        p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = dot(p_hi, s) + dot(p_lo, s)    # (TILE, C)
+    else:
+        out = dot(p.astype(jnp.bfloat16), s)
+
+    o_ref[0] = jnp.where(invalid, 0.0, out)
+
+
+def sample_views_affine(features: jnp.ndarray, affine: jnp.ndarray,
+                        grid_size: int, tile: int = 512,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Bilinear-sample every voxel of an affine grid from per-view features.
+
+    Args:
+      features: (BV, H, W, C) channels-last feature maps.
+      affine: (BV, 3, 4) combined projection @ grid-affine matrices mapping
+        integer grid indices (gx, gy, gz, 1) to homogeneous image coords in
+        heatmap pixels.
+      grid_size: S; the voxel grid is S^3 in (gx, gy, gz) order, gz fastest.
+      tile: voxels per kernel step.
+
+    Returns:
+      (BV, S^3, C) float32 sampled values (0 where depth <= 0 or taps fall
+      outside the map), matching grid_sample align_corners=True + zeros
+      padding semantics.
+    """
+    bv, h, wdt, c = features.shape
+    n = grid_size ** 3
+    tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
+    feats = features.reshape(bv, h, wdt * c)
+
+    kernel = functools.partial(_unproject_kernel, tile=tile,
+                               grid_size=grid_size, height=h, width=wdt,
+                               channels=c)
+    return pl.pallas_call(
+        kernel,
+        grid=(bv, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, wdt * c), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
+        interpret=interpret,
+    )(affine, feats)
+
+
+def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
+                              grid_affine: jnp.ndarray, grid_size: int,
+                              volume_aggregation_method: str = "softmax",
+                              vol_confidences: Optional[jnp.ndarray] = None,
+                              view_mask: Optional[jnp.ndarray] = None,
+                              tile: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Fused-unprojection equivalent of ``volumetric.unproject_heatmaps``.
+
+    Args:
+      features: (B, V, H, W, C).
+      proj_matrices: (B, V, 3, 4) in heatmap pixel units.
+      grid_affine: (B, 3, 4) mapping grid indices -> world mm (from
+        ``volumetric.coord_volume_affine``).
+      grid_size: S of the S^3 voxel grid.
+
+    Returns:
+      (B, C, S, S, S) aggregated volumes.
+    """
+    b, v, h, wdt, c = features.shape
+
+    # Compose world-affine with projection: (B, V, 3, 4).
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (b, 1, 4))
+    affine4 = jnp.concatenate([grid_affine, bottom], axis=1)  # (B, 4, 4)
+    m = jnp.einsum("bvij,bjk->bvik", proj_matrices, affine4,
+                   precision=jax.lax.Precision.HIGHEST)
+
+    sampled = sample_views_affine(
+        features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
+        grid_size, tile=tile, interpret=interpret)
+    n = grid_size ** 3
+    sampled = sampled.reshape(b, v, n, c)
+
+    mask = None
+    if view_mask is not None:
+        mask = view_mask.astype(jnp.bool_)[:, :, None, None]
+
+    method = volume_aggregation_method
+    if method.startswith("conf"):
+        conf = vol_confidences[:, :, None, :]
+        if mask is not None:
+            conf = jnp.where(mask, conf, 0.0)
+        volume = (sampled * conf).sum(axis=1)
+    elif method == "sum":
+        if mask is not None:
+            sampled = jnp.where(mask, sampled, 0.0)
+        volume = sampled.sum(axis=1)
+    elif method == "max":
+        if mask is not None:
+            sampled = jnp.where(mask, sampled, -jnp.inf)
+        volume = sampled.max(axis=1)
+        if mask is not None:
+            volume = jnp.where(jnp.isneginf(volume), 0.0, volume)
+    elif method == "softmax":
+        logits = sampled
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e9)
+        weights = jax.nn.softmax(logits, axis=1)
+        contrib = jnp.where(mask, sampled, 0.0) if mask is not None else sampled
+        volume = (contrib * weights).sum(axis=1)
+    else:
+        raise ValueError(f"Unknown volume_aggregation_method: {method}")
+
+    return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
+                                         grid_size)

@@ -83,6 +83,46 @@ def rotate_coord_volume(coord_volume: jnp.ndarray, theta: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def coord_volume_affine(base_points: jnp.ndarray, cuboid_side: float,
+                        volume_size: int, thetas: Optional[jnp.ndarray] = None,
+                        axis=(0.0, 0.0, 1.0),
+                        transfer_cmu_to_human36m: bool = False) -> jnp.ndarray:
+    """The (B, 3, 4) affine mapping integer grid indices -> world mm.
+
+    The pelvis-centered coordinate volume is affine in the grid index:
+    ``coords(g) = spacing * Rot @ g + (Rot @ (position - base) + base)``.
+    This closed form is what the fused Pallas unprojection consumes (no
+    S^3 x 3 tensor needed); :func:`build_coord_volumes` materializes the same
+    affine so both paths agree bit-for-bit.
+    """
+    b = base_points.shape[0]
+    S = volume_size
+    spacing = cuboid_side / (S - 1)
+    half = cuboid_side / 2.0
+
+    if thetas is not None:
+        rot = rotation_matrix(jnp.asarray(axis, jnp.float32), thetas)  # (B,3,3)
+    else:
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+
+    lin = rot * spacing                                    # (B, 3, 3)
+    # position - base = -half in every world axis.
+    offset = (rot @ jnp.full((b, 3, 1), -half, jnp.float32))[..., 0] \
+        + base_points                                       # (B, 3)
+
+    if transfer_cmu_to_human36m:
+        # Final grid index (g1, g2, g3) reads original grid point
+        # (gx, gy, gz) = (S-1-g2, g1, g3)  (triangulation.py:336-339).
+        perm = jnp.asarray([[0.0, -1.0, 0.0],
+                            [1.0, 0.0, 0.0],
+                            [0.0, 0.0, 1.0]], jnp.float32)
+        shift = jnp.asarray([float(S - 1), 0.0, 0.0], jnp.float32)
+        offset = offset + (lin @ shift[:, None])[..., 0]
+        lin = lin @ perm
+
+    return jnp.concatenate([lin, offset[..., None]], axis=-1)
+
+
 def build_coord_volumes(base_points: jnp.ndarray, cuboid_side: float,
                         volume_size: int, thetas: Optional[jnp.ndarray] = None,
                         axis=(0.0, 0.0, 1.0),
@@ -108,31 +148,16 @@ def build_coord_volumes(base_points: jnp.ndarray, cuboid_side: float,
       (B, S, S, S, 3) coordinate volumes.
     """
     S = volume_size
-    b = base_points.shape[0]
-    sides = jnp.full((3,), cuboid_side, jnp.float32)
-    position = base_points - sides / 2.0  # (B, 3)
+    affine = coord_volume_affine(base_points, cuboid_side, volume_size,
+                                 thetas, axis, transfer_cmu_to_human36m)
 
-    # (S, S, S, 3) integer grid -> world offsets.
     gx = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 0)
     gy = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 1)
     gz = jax.lax.broadcasted_iota(jnp.float32, (S, S, S), 2)
-    grid = jnp.stack([gx, gy, gz], axis=-1) * (cuboid_side / (S - 1))
+    grid = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], axis=-1)  # (S,S,S,4)
 
-    coords = position[:, None, None, None, :] + grid[None]  # (B, S, S, S, 3)
-
-    if thetas is not None:
-        center = base_points[:, None, None, None, :]
-        coords = coords - center
-        # thetas (B,) -> rot (B, 3, 3); the einsum handles the grid dims.
-        coords = rotate_coord_volume(coords, thetas,
-                                     jnp.asarray(axis, jnp.float32))
-        coords = coords + center
-
-    if transfer_cmu_to_human36m:
-        # Swap x/y grid axes then flip the (new) y axis (triangulation.py:336-339).
-        coords = coords.transpose(0, 2, 1, 3, 4)[:, :, ::-1]
-
-    return coords
+    return jnp.einsum("bij,xyzj->bxyzi", affine, grid,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

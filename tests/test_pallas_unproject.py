@@ -1,0 +1,97 @@
+"""Fused Pallas unprojection kernel: parity with the XLA path.
+
+Runs in interpreter mode on the CPU test mesh; the same kernel is validated
+compiled on real TPU hardware (max diff ~1.4e-4 vs the XLA path at f32, see
+lt_tpu/ops/pallas/unproject.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lt_tpu.ops import volumetric as vol_ops
+from lt_tpu.ops.pallas import unproject as pu
+from tests.conftest import make_synthetic_cameras
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(3)
+    b, v, h, w, c, s = 2, 3, 16, 16, 8, 8
+    feats = jnp.asarray(rng.randn(b, v, h, w, c).astype(np.float32))
+    proj, *_ = make_synthetic_cameras(v, rng)
+    proj = jnp.broadcast_to(jnp.asarray(proj * np.array(
+        [[16 / 96.0], [16 / 96.0], [1.0]], np.float32)), (b, v, 3, 4))
+    base = jnp.asarray(rng.uniform(-200, 200, (b, 3)).astype(np.float32))
+    thetas = jnp.asarray(rng.uniform(0, 6.28, (b,)).astype(np.float32))
+    return feats, proj, base, thetas, s
+
+
+def test_affine_matches_materialized_volume(setup):
+    _, _, base, thetas, s = setup
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    gx, gy, gz = np.meshgrid(np.arange(s), np.arange(s), np.arange(s),
+                             indexing="ij")
+    g = np.stack([gx, gy, gz, np.ones_like(gx)], -1).astype(np.float32)
+    coords2 = np.einsum("bij,xyzj->bxyzi", np.asarray(affine), g)
+    np.testing.assert_allclose(coords2, np.asarray(coords), atol=2e-3)
+
+
+def test_affine_transfer_cmu_matches(setup):
+    _, _, base, thetas, s = setup
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas,
+                                         transfer_cmu_to_human36m=True)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas,
+                                         transfer_cmu_to_human36m=True)
+    gx, gy, gz = np.meshgrid(np.arange(s), np.arange(s), np.arange(s),
+                             indexing="ij")
+    g = np.stack([gx, gy, gz, np.ones_like(gx)], -1).astype(np.float32)
+    coords2 = np.einsum("bij,xyzj->bxyzi", np.asarray(affine), g)
+    np.testing.assert_allclose(coords2, np.asarray(coords), atol=2e-3)
+
+
+@pytest.mark.parametrize("method", ["softmax", "sum", "max"])
+def test_kernel_matches_xla_unproject(setup, method):
+    feats, proj, base, thetas, s = setup
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+
+    ref = vol_ops.unproject_heatmaps(feats, proj, coords, method)
+    got = pu.unproject_heatmaps_affine(feats, proj, affine, s, method,
+                                       tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_kernel_view_mask(setup):
+    feats, proj, base, thetas, s = setup
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    mask = jnp.asarray([[1, 1, 0], [1, 1, 1]], jnp.float32)
+
+    ref = vol_ops.unproject_heatmaps(feats, proj, coords, "softmax",
+                                     view_mask=mask)
+    got = pu.unproject_heatmaps_affine(feats, proj, affine, s, "softmax",
+                                       view_mask=mask, tile=64,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_kernel_conf_aggregation(setup):
+    feats, proj, base, thetas, s = setup
+    b, v = feats.shape[:2]
+    c = feats.shape[-1]
+    conf = jnp.asarray(np.random.RandomState(0).rand(b, v, c)
+                       .astype(np.float32))
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+
+    ref = vol_ops.unproject_heatmaps(feats, proj, coords, "conf",
+                                     vol_confidences=conf)
+    got = pu.unproject_heatmaps_affine(feats, proj, affine, s, "conf",
+                                       vol_confidences=conf, tile=64,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)

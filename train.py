@@ -26,6 +26,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from lt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from lt_tpu.engine.train import run
 
     run(args.config, args.logdir, eval_only=args.eval,
