@@ -268,21 +268,24 @@ class VolumetricTriangulationNet(nn.Module):
             volumes = pallas_unproject.unproject_heatmaps_affine(
                 features, proj_hm, grid_affine, self.volume_size,
                 volume_aggregation_method=self.volume_aggregation_method,
-                vol_confidences=vol_conf, view_mask=view_mask)
+                vol_confidences=vol_conf, view_mask=view_mask,
+                channels_last=True)  # kernel scan order IS NDHWC: zero-copy
         else:
             volumes = vol_ops.unproject_heatmaps(
                 features, proj_hm, coord_volumes,
                 volume_aggregation_method=self.volume_aggregation_method,
                 vol_confidences=vol_conf, view_mask=view_mask)
+            volumes = jnp.moveaxis(volumes, 1, -1)
 
-        # (B, C, S, S, S) -> NDHWC for V2V, back to (B, J, S, S, S).
-        volumes = jnp.moveaxis(volumes, 1, -1)
         volumes = self.volume_net(volumes, train=train)
-        volumes = jnp.moveaxis(volumes, -1, 1)
 
-        keypoints_3d, volumes = hm_ops.integrate_tensor_3d_with_coordinates(
-            volumes * self.volume_multiplier, coord_volumes,
-            softmax=self.volume_softmax)
+        # Channels-last soft-argmax avoids transposing the full volume; the
+        # (B, J, S, S, S) volumes output (for the CE loss / vis) is produced
+        # inside and DCE'd by XLA on inference paths that don't consume it.
+        keypoints_3d, volumes = \
+            hm_ops.integrate_tensor_3d_with_coordinates_channels_last(
+                volumes * self.volume_multiplier, coord_volumes,
+                softmax=self.volume_softmax)
 
         return VolumetricOutput(keypoints_3d, features, volumes, vol_conf,
                                 coord_volumes, base_points)

@@ -112,6 +112,30 @@ def integrate_tensor_3d_with_coordinates(volumes: jnp.ndarray,
     return coords, vols
 
 
+def integrate_tensor_3d_with_coordinates_channels_last(
+        volumes: jnp.ndarray, coord_volumes: jnp.ndarray,
+        softmax: bool = True):
+    """Channels-last twin of :func:`integrate_tensor_3d_with_coordinates`.
+
+    Takes (B, X, Y, Z, J) volumes (the native layout coming out of the NDHWC
+    V2V net) — avoids two full-volume transposes on the hot path.
+
+    Returns:
+      (keypoints (B, J, 3), normalized volumes (B, J, X, Y, Z)).
+    """
+    b, xs, ys, zs, j = volumes.shape
+    flat = volumes.reshape(b, xs * ys * zs, j).astype(jnp.float32)
+    if softmax:
+        flat = jax.nn.softmax(flat, axis=1)
+    else:
+        flat = jax.nn.relu(flat)
+    coords = jnp.einsum("bnj,bnc->bjc", flat,
+                        coord_volumes.reshape(b, -1, 3).astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+    vols = flat.reshape(b, xs, ys, zs, j)
+    return coords, jnp.moveaxis(vols, -1, 1)
+
+
 def gaussian_2d_pdf(coords: jnp.ndarray, means: jnp.ndarray,
                     sigmas: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """Axis-aligned 2D Gaussian density. Mirrors op.py:169-175.

@@ -169,6 +169,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                               vol_confidences: Optional[jnp.ndarray] = None,
                               view_mask: Optional[jnp.ndarray] = None,
                               tile: int = 512,
+                              channels_last: bool = False,
                               interpret: bool = False) -> jnp.ndarray:
     """Fused-unprojection equivalent of ``volumetric.unproject_heatmaps``.
 
@@ -178,9 +179,11 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
       grid_affine: (B, 3, 4) mapping grid indices -> world mm (from
         ``volumetric.coord_volume_affine``).
       grid_size: S of the S^3 voxel grid.
+      channels_last: if True, return (B, S, S, S, C) — the kernel's native
+        voxel scan order, zero-copy into the NDHWC V2V net.
 
     Returns:
-      (B, C, S, S, S) aggregated volumes.
+      (B, C, S, S, S) aggregated volumes (or NDHWC with channels_last).
     """
     b, v, h, wdt, c = features.shape
 
@@ -227,5 +230,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
     else:
         raise ValueError(f"Unknown volume_aggregation_method: {method}")
 
+    if channels_last:
+        return volume.reshape(b, grid_size, grid_size, grid_size, c)
     return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
                                          grid_size)
