@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
-                      height: int, width: int, channels: int):
+                      height: int, width: int, channels: int,
+                      band_width=None, c0_ref=None):
     """One (bv, voxel-tile) grid step."""
     t = pl.program_id(1)
     wc = width * channels
@@ -71,8 +72,7 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    f = f_ref[0]                            # (H, W*C)
-    f32_mode = f.dtype == jnp.float32
+    f32_mode = f_ref.dtype == jnp.float32
     dims = (((1,), (0,)), ((), ()))
 
     def dot(lhs, rhs):
@@ -93,37 +93,65 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
         return (dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo)
                 + dot(lhs_lo, rhs_hi))
 
-    # Row one-hot weights A (TILE, H): taps y0 and y0+1, zero out-of-bounds.
-    hh = jax.lax.broadcasted_iota(jnp.int32, (tile, height), 1)
-    a = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
-         + jnp.where(hh == y0i + 1, wy, 0.0))
-    if f32_mode:
-        m = dot_split(a, f)                  # (TILE, W*C)
-    else:
-        m = dot(a.astype(f.dtype), f)
+    def sample_band(col0, band_w):
+        """Exact bilinear samples against image columns [col0, col0+band_w).
 
-    # Column weights broadcast across channels: lane l covers column l // C.
-    ww = jax.lax.broadcasted_iota(jnp.int32, (tile, wc), 1) // channels
-    bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
-            + jnp.where(ww == x0i + 1, wx, 0.0))
-    p = m * bexp                             # (TILE, W*C) f32
+        Taps outside the band contribute zero — exact whenever every
+        in-image tap of the tile lies inside the band.  ``band_w`` static.
+        """
+        bwc = band_w * channels
+        start = pl.multiple_of(col0 * channels, 128)
+        f = f_ref[0, :, pl.ds(start, bwc)]              # (H, band_w*C)
 
-    # Constant channel-collapse matrix S (W*C, C): S[w*C + c, c] = 1.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wc, channels), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (wc, channels), 1)
-    s = (rows % channels == cols).astype(jnp.bfloat16)  # 0/1: exact in bf16
-    if f32_mode:
-        p_hi = p.astype(jnp.bfloat16)
-        p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = dot(p_hi, s) + dot(p_lo, s)    # (TILE, C)
+        # Row one-hot weights A (TILE, H): taps y0, y0+1; OOB rows drop.
+        hh = jax.lax.broadcasted_iota(jnp.int32, (tile, height), 1)
+        a = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
+             + jnp.where(hh == y0i + 1, wy, 0.0))
+        m = dot_split(a, f) if f32_mode else dot(a.astype(f.dtype), f)
+
+        # Column weights vs absolute column index; lane l -> col0 + l // C.
+        ww = (jax.lax.broadcasted_iota(jnp.int32, (tile, bwc), 1)
+              // channels + col0)
+        bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+                + jnp.where(ww == x0i + 1, wx, 0.0))
+        p = m * bexp                                     # (TILE, bwc) f32
+
+        # Channel-collapse S (band_w*C, C): S[w*C + c, c] = 1 (0/1: exact).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bwc, channels), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bwc, channels), 1)
+        s = (rows % channels == cols).astype(jnp.bfloat16)
+        if f32_mode:
+            p_hi = p.astype(jnp.bfloat16)
+            p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return dot(p_hi, s) + dot(p_lo, s)           # (TILE, C)
+        return dot(p.astype(jnp.bfloat16), s)
+
+    if c0_ref is not None:
+        # Host-precomputed column band (scalar-prefetched): c0 >= 0 means
+        # every in-image tap of this tile lies in columns
+        # [c0, c0 + band_width); c0 < 0 falls back to chunked full coverage.
+        c0 = c0_ref[pl.program_id(0), t]
+
+        def banded():
+            return sample_band(c0, band_width)
+
+        def chunked():
+            acc = jnp.zeros((tile, channels), jnp.float32)
+            for cc0 in range(0, width, band_width):
+                acc = acc + sample_band(cc0,
+                                        min(band_width, width - cc0))
+            return acc
+
+        out = jax.lax.cond(c0 >= 0, banded, chunked)
     else:
-        out = dot(p.astype(jnp.bfloat16), s)
+        out = sample_band(0, width)
 
     o_ref[0] = jnp.where(invalid, 0.0, out)
 
 
 def sample_views_affine(features: jnp.ndarray, affine: jnp.ndarray,
-                        grid_size: int, tile: int = 512,
+                        grid_size: int, tile: int = 256,
+                        band_width: Optional[int] = 16,
                         interpret: bool = False) -> jnp.ndarray:
     """Bilinear-sample every voxel of an affine grid from per-view features.
 
@@ -134,6 +162,12 @@ def sample_views_affine(features: jnp.ndarray, affine: jnp.ndarray,
         heatmap pixels.
       grid_size: S; the voxel grid is S^3 in (gx, gy, gz) order, gz fastest.
       tile: voxels per kernel step.
+      band_width: column-band optimization — each tile first computes the
+        column extent of its in-image taps; when it fits in ``band_width``
+        image columns (typical: a tile of gz-columns projects to a thin
+        near-vertical sliver) the matmuls run on that band only (~width/band
+        fewer MXU passes), else the exact full-width path runs. None
+        disables banding.
 
     Returns:
       (BV, S^3, C) float32 sampled values (0 where depth <= 0 or taps fall
@@ -145,22 +179,97 @@ def sample_views_affine(features: jnp.ndarray, affine: jnp.ndarray,
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
     feats = features.reshape(bv, h, wdt * c)
+    n_tiles = n // tile
 
-    kernel = functools.partial(_unproject_kernel, tile=tile,
-                               grid_size=grid_size, height=h, width=wdt,
-                               channels=c)
+    use_bands = (band_width is not None and band_width < wdt
+                 and tile % grid_size == 0 and 128 % c == 0)
+    if not use_bands:
+        kernel = functools.partial(_unproject_kernel, tile=tile,
+                                   grid_size=grid_size, height=h, width=wdt,
+                                   channels=c, band_width=None)
+        return pl.pallas_call(
+            kernel,
+            grid=(bv, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, h, wdt * c), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
+            interpret=interpret,
+        )(affine, feats)
+
+    c0s = _tile_column_bands(affine, grid_size, tile, h, wdt, band_width, c)
+
+    def kernel(c0_sref, m_ref, f_ref, o_ref):
+        _unproject_kernel(m_ref, f_ref, o_ref, tile=tile,
+                          grid_size=grid_size, height=h, width=wdt,
+                          channels=c, band_width=band_width, c0_ref=c0_sref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bv, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t, sref: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, wdt * c), lambda b, t, sref: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda b, t, sref: (b, t, 0)),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(bv, n // tile),
-        in_specs=[
-            pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, wdt * c), lambda b, t: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
         interpret=interpret,
-    )(affine, feats)
+    )(c0s, affine, feats)
+
+
+def _tile_column_bands(affine: jnp.ndarray, grid_size: int, tile: int,
+                       height: int, width: int, band_width: int,
+                       channels: int) -> jnp.ndarray:
+    """Per-(bv, tile) aligned column-band starts, or -1 for full fallback.
+
+    A tile covers ``tile // grid_size`` full gz-columns, i.e. an axis-aligned
+    box in grid-index space.  The projected column u/w is linear-fractional
+    in the grid index, so (given w > 0 on the whole box) its extrema over the
+    box sit at the 8 corners — the corner extent is exact, not a bound.
+    Tiles with any corner at w <= 0 or an extent wider than ``band_width``
+    get -1 (kernel falls back to chunked full coverage).
+    """
+    bv = affine.shape[0]
+    s = grid_size
+    cols_per_tile = tile // s
+    tiles_n = (s * s * s) // tile
+    t_idx = jnp.arange(tiles_n)
+    gy0 = (t_idx * cols_per_tile) % s
+    gx0 = (t_idx * cols_per_tile) // s
+
+    # A tile spans one gx value, cols_per_tile gy values, and all of gz
+    # (grid_size % cols_per_tile == 0, so gy never wraps across gx).
+    assert s % cols_per_tile == 0, (s, cols_per_tile)
+    corners = []
+    for dy in (0, cols_per_tile - 1):
+        for dz in (0, s - 1):
+            corners.append(jnp.stack(
+                [gx0, gy0 + dy, jnp.full_like(gy0, dz),
+                 jnp.ones_like(gy0)], axis=-1))
+    g = jnp.stack(corners, axis=1).astype(jnp.float32)  # (T, 4, 4)
+
+    uvw = jnp.einsum("bij,tkj->btki", affine, g,
+                     precision=jax.lax.Precision.HIGHEST)  # (BV, T, 8, 3)
+    w = uvw[..., 2]
+    pos = jnp.all(w > 0.0, axis=-1)                        # (BV, T)
+    x = uvw[..., 0] / jnp.where(w == 0.0, 1.0, w) * ((width - 1) / width)
+
+    x0min = jnp.clip(jnp.floor(jnp.min(x, axis=-1)), 0, width - 1)
+    x1max = jnp.clip(jnp.floor(jnp.max(x, axis=-1)) + 1, 0, width - 1)
+
+    align = max(1, 128 // channels)
+    c0 = (x0min.astype(jnp.int32) // align) * align
+    c0 = jnp.clip(c0, 0, width - band_width)
+    fits = pos & (x1max.astype(jnp.int32) < c0 + band_width)
+    return jnp.where(fits, c0, -1).astype(jnp.int32)
 
 
 def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
@@ -168,7 +277,8 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                               volume_aggregation_method: str = "softmax",
                               vol_confidences: Optional[jnp.ndarray] = None,
                               view_mask: Optional[jnp.ndarray] = None,
-                              tile: int = 512,
+                              tile: int = 256,
+                              band_width: Optional[int] = 16,
                               channels_last: bool = False,
                               interpret: bool = False) -> jnp.ndarray:
     """Fused-unprojection equivalent of ``volumetric.unproject_heatmaps``.
@@ -196,7 +306,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
 
     sampled = sample_views_affine(
         features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
-        grid_size, tile=tile, interpret=interpret)
+        grid_size, tile=tile, band_width=band_width, interpret=interpret)
     n = grid_size ** 3
     sampled = sampled.reshape(b, v, n, c)
 
