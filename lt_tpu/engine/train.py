@@ -338,6 +338,13 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     if config.get("debug_nans"):
         jax.config.update("jax_debug_nans", True)
 
+    # Device profiling (SURVEY.md §5 — the reference only has wall-clock
+    # timers): config.profile_dir captures a jax.profiler trace of the first
+    # training steps, viewable in tensorboard/xprof.
+    profile_dir = config.get("profile_dir")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     model = factory.make_model(config)
     criterion = factory.make_criterion(config)
     model_name = config.model.name
@@ -399,6 +406,10 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
             train_step, state, train_it, epoch, rng, logger, config,
             n_iters_total, config.opt.get("n_iters_per_epoch"),
             eval_step=eval_step)
+        if profile_dir and epoch == 0:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profile_dir = None
         scalar, full, _ = eval_epoch(eval_step, state, val_it, config, epoch,
                                      experiment_dir, logger, val_ds)
         if mesh_lib.is_master() and experiment_dir is not None:
