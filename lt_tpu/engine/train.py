@@ -219,6 +219,9 @@ def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
         state, metrics = train_step(state, device_batch, rng)
         master = mesh_lib.is_master()
         if master and logger is not None:
+            # One bulk device->host fetch: per-scalar float() would cost a
+            # full transfer round-trip per metric per iteration.
+            metrics = jax.device_get(metrics)
             batch_time = time.time() - end
             logger.log("train", {**{k: float(v) for k, v in metrics.items()},
                                  "batch_time": batch_time,
@@ -267,6 +270,7 @@ def eval_epoch(eval_step, state, iterator, config, epoch: int,
         keypoints, metrics = eval_step(state, device_batch)
         results["keypoints_3d"].append(np.asarray(keypoints))
         results["indexes"].append(np.asarray(batch["indexes"]))
+        metrics = jax.device_get(metrics)
         for k, v in metrics.items():
             metric_means[k].append(float(v))
 
@@ -349,7 +353,9 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     criterion = factory.make_criterion(config)
     model_name = config.model.name
 
-    train_ds, val_ds = make_datasets(config, is_train=not eval_only)
+    # The train split is also needed for `--eval --eval_dataset train`.
+    need_train = (not eval_only) or eval_dataset == "train"
+    train_ds, val_ds = make_datasets(config, is_train=need_train)
     val_batch_size = config.opt.get("val_batch_size", config.opt.batch_size)
 
     train_it = None
