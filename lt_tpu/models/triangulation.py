@@ -255,11 +255,10 @@ class VolumetricTriangulationNet(nn.Module):
         features = self.process_features(features)
         features = features.reshape((b, v) + features.shape[1:])
 
-        # Kernel path is inference-only for now (pallas_call has no VJP yet;
-        # a custom_vjp — the transposed row-mix — is planned). Training uses
-        # the differentiable XLA path.
-        if (self.use_pallas_unproject and not train
-                and jax.default_backend() != "cpu"):
+        # The kernel is differentiable via custom_vjp (backward = transposed
+        # row-mix; gradients flow to features, which is exhaustive here:
+        # cameras/coordinate volumes are inputs, not parameters).
+        if self.use_pallas_unproject and jax.default_backend() != "cpu":
             # Fused gather-free kernel (lt_tpu.ops.pallas.unproject): the
             # coordinate volume is affine in the grid index, so the kernel
             # only needs a 3x4 matrix per (batch, view).

@@ -149,10 +149,10 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
     o_ref[0] = jnp.where(invalid, 0.0, out)
 
 
-def sample_views_affine(features: jnp.ndarray, affine: jnp.ndarray,
-                        grid_size: int, tile: int = 256,
-                        band_width: Optional[int] = 16,
-                        interpret: bool = False) -> jnp.ndarray:
+def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
+                           grid_size: int, tile: int = 256,
+                           band_width: Optional[int] = 16,
+                           interpret: bool = False) -> jnp.ndarray:
     """Bilinear-sample every voxel of an affine grid from per-view features.
 
     Args:
@@ -306,7 +306,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
 
     sampled = sample_views_affine(
         features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
-        grid_size, tile=tile, band_width=band_width, interpret=interpret)
+        grid_size, tile, band_width, interpret)
     n = grid_size ** 3
     sampled = sampled.reshape(b, v, n, c)
 
@@ -344,3 +344,128 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
         return volume.reshape(b, grid_size, grid_size, grid_size, c)
     return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
                                          grid_size)
+
+
+# ---------------------------------------------------------------------------
+# Backward: dL/dFeatures is the transposed row-mix, accumulated per (b, v)
+# ---------------------------------------------------------------------------
+
+
+def _unproject_bwd_kernel(m_ref, g_ref, o_ref, *, tile: int, grid_size: int,
+                          height: int, width: int, channels: int):
+    """Accumulate dF (H, W*C) for one (bv) from one voxel tile's grads.
+
+    Forward per tile: out = (A @ F * Bexp) @ S with S the channel-collapse.
+    Hence dF = A^T @ (gS^T * Bexp) where gS^T just broadcasts the upstream
+    grad across the W lane groups.  Grid iterates tiles for a fixed (bv);
+    the output block is revisited and accumulated in VMEM, flushed once.
+    """
+    t = pl.program_id(1)
+    wc = width * channels
+
+    n = t * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    gz = (n % grid_size).astype(jnp.float32)
+    gy = ((n // grid_size) % grid_size).astype(jnp.float32)
+    gx = (n // (grid_size * grid_size)).astype(jnp.float32)
+
+    def row(i):
+        return (m_ref[0, i, 0] * gx + m_ref[0, i, 1] * gy
+                + m_ref[0, i, 2] * gz + m_ref[0, i, 3])
+
+    u, v, w = row(0), row(1), row(2)
+    invalid = w <= 0.0
+    w_safe = jnp.where(w == 0.0, 1.0, w)
+    x = jnp.where(invalid, 0.0, u / w_safe) * ((width - 1) / width)
+    y = jnp.where(invalid, 0.0, v / w_safe) * ((height - 1) / height)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    g = jnp.where(invalid, 0.0, g_ref[0].astype(jnp.float32))  # (TILE, C)
+    gp = pltpu.repeat(g, width, axis=1)                        # (TILE, W*C)
+
+    ww = (jax.lax.broadcasted_iota(jnp.int32, (tile, wc), 1) // channels)
+    bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+            + jnp.where(ww == x0i + 1, wx, 0.0))
+    dm = (gp * bexp).astype(jnp.bfloat16)                      # (TILE, W*C)
+
+    hh = jax.lax.broadcasted_iota(jnp.int32, (tile, height), 1)
+    a = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
+         + jnp.where(hh == y0i + 1, wy, 0.0)).astype(jnp.bfloat16)
+
+    # A^T @ dM: contract the tile dim -> (H, W*C).
+    contrib = jax.lax.dot_general(
+        a, dm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[0] = contrib
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[0] = o_ref[0] + contrib
+
+
+def _sample_views_grad_features(g: jnp.ndarray, affine: jnp.ndarray,
+                                feat_shape, grid_size: int, tile: int,
+                                interpret: bool) -> jnp.ndarray:
+    bv, h, wdt, c = feat_shape
+    n = grid_size ** 3
+    tile = min(tile, n)
+
+    kernel = functools.partial(_unproject_bwd_kernel, tile=tile,
+                               grid_size=grid_size, height=h, width=wdt,
+                               channels=c)
+    df = pl.pallas_call(
+        kernel,
+        grid=(bv, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, wdt * c), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bv, h, wdt * c), jnp.float32),
+        interpret=interpret,
+    )(affine, g)
+    return df.reshape(bv, h, wdt, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def sample_views_affine(features, affine, grid_size, tile=256,
+                        band_width=16, interpret=False):
+    """Differentiable fused sampling (see _sample_views_fwd_impl).
+
+    Gradients flow to ``features`` only; ``affine`` gets zeros.  That is
+    sufficient for every reference training config: cameras and coordinate
+    volumes are inputs, not parameters (the coordinate-volume gradient used
+    by soft-argmax flows through integrate_tensor_3d_with_coordinates, not
+    through the unprojection).
+    """
+    return _sample_views_fwd_impl(features, affine, grid_size, tile,
+                                  band_width, interpret)
+
+
+def _sample_views_fwd(features, affine, grid_size, tile, band_width,
+                      interpret):
+    out = _sample_views_fwd_impl(features, affine, grid_size, tile,
+                                 band_width, interpret)
+    # Zero-length token carries the feature shape/dtype through residuals
+    # (residuals must be JAX types).
+    token = jnp.zeros((0,) + features.shape[1:], features.dtype)
+    return out, (affine, token)
+
+
+def _sample_views_bwd(grid_size, tile, band_width, interpret, res, g):
+    affine, token = res
+    feat_shape = (affine.shape[0],) + token.shape[1:]
+    df = _sample_views_grad_features(g, affine, feat_shape, grid_size, tile,
+                                     interpret)
+    return df.astype(token.dtype), jnp.zeros_like(affine)
+
+
+sample_views_affine.defvjp(_sample_views_fwd, _sample_views_bwd)

@@ -180,3 +180,45 @@ def test_end_to_end_training_learns(tmp_path):
     ckdir = ckpt.latest_epoch_dir(str(exp_dir / "checkpoints"))
     assert ckdir is not None
     assert os.path.isdir(os.path.join(ckdir, "state"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore preserves the full train state (true resume)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.engine import checkpoint as ckpt
+    from lt_tpu.engine import factory
+    from lt_tpu.engine.steps import TrainState
+    from lt_tpu.models.triangulation import AlgebraicTriangulationNet
+    from lt_tpu.utils.cfg import AttrDict
+
+    config = AttrDict({"opt": {"criterion": "MSESmooth", "lr": 1e-3},
+                       "model": {"name": "alg",
+                                 "backbone": {"num_joints": 3,
+                                              "num_layers": 18}}})
+    model = AlgebraicTriangulationNet(num_joints=3, num_layers=18,
+                                      use_confidences=False)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 2, 64, 64, 3).astype(np.float32))
+    proj = jnp.asarray(rng.randn(1, 2, 3, 4).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, proj)
+
+    optimizer = factory.make_optimizer(config, variables["params"], "alg")
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       optimizer.init(variables["params"]),
+                       jnp.asarray(7, jnp.int32))
+
+    ckpt.save_checkpoint(str(tmp_path), state)
+    restored = ckpt.restore_checkpoint(str(tmp_path), state)
+
+    assert int(restored.step) == 7
+    orig = jax.tree_util.tree_leaves(state.params)
+    back = jax.tree_util.tree_leaves(restored.params)
+    assert len(orig) == len(back)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Optimizer state (Adam moments) survives too.
+    o1 = jax.tree_util.tree_leaves(state.opt_state)
+    o2 = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(o1) == len(o2)

@@ -95,3 +95,29 @@ def test_kernel_conf_aggregation(setup):
                                        interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_kernel_gradient_matches_xla(setup):
+    """custom_vjp (transposed row-mix) vs autodiff through the XLA path."""
+    import jax
+
+    feats, proj, base, thetas, s = setup
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(2, 8, s, s, s).astype(np.float32))
+
+    def loss_kernel(f):
+        out = pu.unproject_heatmaps_affine(f, proj, affine, s, "sum",
+                                           tile=64, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(f):
+        out = vol_ops.unproject_heatmaps(f, proj, coords, "sum")
+        return jnp.sum(out * w)
+
+    g1 = jax.grad(loss_kernel)(feats)
+    g2 = jax.grad(loss_xla)(feats)
+    scale = float(jnp.abs(g2).max())
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-2 * scale, rtol=1e-2)
