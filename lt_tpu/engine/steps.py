@@ -95,10 +95,22 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
                    rng: jax.Array):
         rngs = {"aug": jax.random.fold_in(rng, state.step)}
 
+        def forward(params, batch_stats, batch, rngs):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return _model_outputs(model, model_name, variables, batch, True,
+                                  rngs)
+
+        if config.opt.get("remat"):
+            # Rematerialization: save only matmul/conv outputs without batch
+            # dims (weights-sized residuals), recompute the rest in the
+            # backward pass — trades one extra forward for the activation
+            # memory of the 64^3 volumetric path (SURVEY.md §5 "V2V memory").
+            forward = jax.checkpoint(
+                forward,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mutated = _model_outputs(model, model_name, variables,
-                                          batch, True, rngs)
+            out, mutated = forward(params, state.batch_stats, batch, rngs)
             total, metrics = compute_losses(model_name, criterion, config,
                                             out, batch)
             return total, (metrics, mutated["batch_stats"])
