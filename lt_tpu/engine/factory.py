@@ -43,6 +43,7 @@ def make_model(config):
             **common)
     if name == "vol":
         return VolumetricTriangulationNet(
+            remat=bool(config.opt.get("remat", False)),
             volume_aggregation_method=m.get("volume_aggregation_method",
                                             "softmax"),
             volume_softmax=m.get("volume_softmax", True),

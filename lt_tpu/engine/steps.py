@@ -100,11 +100,11 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
             return _model_outputs(model, model_name, variables, batch, True,
                                   rngs)
 
-        if config.opt.get("remat"):
-            # Rematerialization: save only matmul/conv outputs without batch
-            # dims (weights-sized residuals), recompute the rest in the
-            # backward pass — trades one extra forward for the activation
-            # memory of the 64^3 volumetric path (SURVEY.md §5 "V2V memory").
+        if config.opt.get("remat") and model_name != "vol":
+            # Rematerialization for models without built-in per-block remat
+            # (the volumetric model remats each backbone/V2V block itself —
+            # see factory.make_model; an outer checkpoint on top would ADD
+            # saved residuals instead of removing them).
             forward = jax.checkpoint(
                 forward,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)

@@ -160,9 +160,11 @@ class RepeatedBlock(nn.Module):
 
 
 def _scan_repeat(block_kind: str, planes: int, caffe: bool, train: bool,
-                 compute_dtype, length: int, name: str):
+                 compute_dtype, length: int, name: str,
+                 remat: bool = False):
+    body = nn.remat(RepeatedBlock) if remat else RepeatedBlock
     scanned = nn.scan(
-        RepeatedBlock,
+        body,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         length=length,
@@ -258,6 +260,7 @@ class PoseResNet(nn.Module):
     num_deconv_filters: Sequence[int] = (256, 256, 256)
     final_conv_kernel: int = 1
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -288,7 +291,8 @@ class PoseResNet(nn.Module):
                 # (compile-time lever; see RepeatedBlock).
                 x, _ = _scan_repeat(block_kind, planes, caffe, train,
                                     self.compute_dtype, blocks - 1,
-                                    f"layer{stage + 1}_rest")(x)
+                                    f"layer{stage + 1}_rest",
+                                    remat=self.remat)(x)
             inplanes = planes * expansion
 
         alg_conf = None

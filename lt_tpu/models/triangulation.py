@@ -193,6 +193,7 @@ class VolumetricTriangulationNet(nn.Module):
     kind: str = "mpii"
     transfer_cmu_to_human36m: bool = False
     use_pallas_unproject: bool = True
+    remat: bool = False
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -200,12 +201,13 @@ class VolumetricTriangulationNet(nn.Module):
             num_joints=self.num_joints, num_layers=self.num_layers,
             style=self.style, alg_confidences=False,
             vol_confidences=self.volume_aggregation_method.startswith("conf"),
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, remat=self.remat)
         self.process_features = nn.Conv(32, (1, 1), name="process_features",
                                         dtype=self.compute_dtype,
                                         param_dtype=jnp.float32)
         self.volume_net = V2VModel(output_channels=self.num_joints,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.compute_dtype,
+                                   remat=self.remat)
 
     def __call__(self, images: jnp.ndarray, proj_matrices: jnp.ndarray,
                  pelvis_keypoints: jnp.ndarray, train: bool = False,

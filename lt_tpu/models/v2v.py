@@ -231,25 +231,36 @@ class V2VModel(nn.Module):
 
     Mirrors v2v.py:141-180. Input (B, X, Y, Z, C_in), output
     (B, X, Y, Z, n_joints).
+
+    ``remat=True`` wraps every block in ``nn.remat`` so the backward pass
+    keeps only block boundaries alive — the difference between fitting the
+    64^3 training activations in HBM or not (ROADMAP.md "Training memory").
     """
 
     output_channels: int
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
+        if self.remat:
+            basic = nn.remat(Basic3DBlock, static_argnums=(2,))
+            res = nn.remat(Res3DBlock, static_argnums=(2,))
+            encdec = nn.remat(EncoderDecoder, static_argnums=(2,))
+        else:
+            basic, res, encdec = Basic3DBlock, Res3DBlock, EncoderDecoder
         x = x.astype(dt)
-        x = Basic3DBlock(16, 7, dt, name="front_basic")(x, train)
-        x = Res3DBlock(32, dt, name="front_res1")(x, train)
-        x = Res3DBlock(32, dt, name="front_res2")(x, train)
-        x = Res3DBlock(32, dt, name="front_res3")(x, train)
+        x = basic(16, 7, dt, name="front_basic")(x, train)
+        x = res(32, dt, name="front_res1")(x, train)
+        x = res(32, dt, name="front_res2")(x, train)
+        x = res(32, dt, name="front_res3")(x, train)
 
-        x = EncoderDecoder(dt, name="encoder_decoder")(x, train)
+        x = encdec(dt, name="encoder_decoder")(x, train)
 
-        x = Res3DBlock(32, dt, name="back_res")(x, train)
-        x = Basic3DBlock(32, 1, dt, name="back_basic1")(x, train)
-        x = Basic3DBlock(32, 1, dt, name="back_basic2")(x, train)
+        x = res(32, dt, name="back_res")(x, train)
+        x = basic(32, 1, dt, name="back_basic1")(x, train)
+        x = basic(32, 1, dt, name="back_basic2")(x, train)
 
         x = _conv3d(self.output_channels, 1, 0, dtype=dt,
                     name="output_layer")(x)
