@@ -86,11 +86,15 @@ def prepare_batch(batch: Dict[str, np.ndarray]):
 
 
 class BatchIterator:
-    """Shuffling, optionally-infinite batch iterator over a dataset.
+    """Shuffling batch iterator with background prefetch.
 
     Replaces torch DataLoader + DistributedSampler: for multi-host runs pass
     ``shard_id``/``num_shards`` (= jax.process_index/count) to partition the
-    sample space per host.
+    sample space per host.  ``prefetch > 0`` assembles up to that many
+    batches ahead on a worker thread (the reference's num_workers analogue,
+    train.py:78,107), so JPEG decode overlaps device compute; datasets that
+    expose ``get_batch(idxs)`` (e.g. the H36M native pipeline) load each
+    batch with one thread-pooled call.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
@@ -98,7 +102,8 @@ class BatchIterator:
                  shard_id: int = 0, num_shards: int = 1,
                  randomize_n_views: bool = False,
                  min_n_views: Optional[int] = None,
-                 max_n_views: Optional[int] = None):
+                 max_n_views: Optional[int] = None,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -109,6 +114,7 @@ class BatchIterator:
         self.randomize_n_views = randomize_n_views
         self.min_n_views = min_n_views
         self.max_n_views = max_n_views
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -116,9 +122,15 @@ class BatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
-        """One epoch of batches; ``epoch`` reseeds the shuffle like
-        DistributedSampler.set_epoch (train.py:459-460)."""
+    def _make_batch(self, idxs, rng) -> Optional[Dict]:
+        if hasattr(self.dataset, "get_batch"):
+            items = self.dataset.get_batch(idxs)
+        else:
+            items = [self.dataset[int(i)] for i in idxs]
+        return collate(items, self.randomize_n_views, self.min_n_views,
+                       self.max_n_views, rng)
+
+    def _epoch_sync(self, epoch: int) -> Iterator[Dict]:
         rng = np.random.RandomState(self.seed + epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -128,9 +140,45 @@ class BatchIterator:
         n_full = len(order) // self.batch_size
         limit = n_full * self.batch_size if self.drop_last else len(order)
         for start in range(0, limit, self.batch_size):
-            idxs = order[start:start + self.batch_size]
-            items = [self.dataset[int(i)] for i in idxs]
-            out = collate(items, self.randomize_n_views, self.min_n_views,
-                          self.max_n_views, rng)
+            out = self._make_batch(order[start:start + self.batch_size], rng)
             if out is not None:
                 yield out
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        """One epoch of batches; ``epoch`` reseeds the shuffle like
+        DistributedSampler.set_epoch (train.py:459-460)."""
+        if self.prefetch <= 0:
+            yield from self._epoch_sync(epoch)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self._epoch_sync(epoch):
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # surface errors on the consumer side
+                q.put(e)
+
+        worker = threading.Thread(target=producer, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Unblock the producer if the consumer stops early.
+            while worker.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    worker.join(timeout=0.1)

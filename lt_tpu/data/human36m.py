@@ -116,12 +116,15 @@ class Human36MMultiViewDataset:
     def __len__(self):
         return len(self.labels["table"])
 
-    def __getitem__(self, idx):
-        """Returns a dict with per-view lists (missing views skipped) —
-        mirroring human36m.py:116-189 — plus ``view_valid`` flags used by the
-        static-shape collate."""
-        import cv2
+    def _sample_meta(self, idx):
+        """Everything except pixel loading: geometry, paths, placeholders.
 
+        Returns ``(sample, tasks)`` where ``tasks`` is a list of
+        ``(view_slot, image_path, bbox)`` for the views whose image still
+        needs loading.  The crop/resize intrinsic updates (human36m.py:
+        146-158) depend only on the bbox and the target shape, so K and the
+        projection matrices are finalized here.
+        """
         shot = self.labels["table"][idx]
         subject = self.labels["subject_names"][shot["subject_idx"]]
         action = self.labels["action_names"][shot["action_idx"]]
@@ -130,6 +133,7 @@ class Human36MMultiViewDataset:
         sample = {"images": [], "detections": [], "cameras_R": [],
                   "cameras_t": [], "cameras_K": [], "proj_matrices": [],
                   "view_valid": []}
+        tasks = []
 
         for camera_idx, camera_name in enumerate(self.labels["camera_names"]):
             if camera_idx in self.ignore_cameras:
@@ -157,39 +161,15 @@ class Human36MMultiViewDataset:
             R = np.array(cam["R"], np.float32)
             t = np.array(cam["t"], np.float32).reshape(3, 1)
             K = np.array(cam["K"], np.float32).copy()
-
-            image = None
-            if (self._native is not None and self.crop
-                    and self.image_shape is not None and self.norm_image):
-                # Fused native path: decode+crop+resize+normalize in C++.
-                decoded = self._native.decode_jpeg(image_path)
-                if decoded is not None:
-                    image = self._native.process_image(
-                        decoded, bbox, self.image_shape, normalize=True)
-                    K[0, 2] -= bbox[0]
-                    K[1, 2] -= bbox[1]
+            if self.crop:
+                K[0, 2] -= bbox[0]
+                K[1, 2] -= bbox[1]
+                if self.image_shape is not None:
                     K[0] *= self.image_shape[1] / (bbox[2] - bbox[0])
                     K[1] *= self.image_shape[0] / (bbox[3] - bbox[1])
 
-            if image is None:  # numpy fallback (reference-equivalent path)
-                image = cv2.imread(image_path)  # BGR, like the reference
-                assert image is not None, f"{image_path} doesn't exist"
-
-                if self.crop:
-                    image = img_utils.crop_image(image, bbox)
-                    K[0, 2] -= bbox[0]
-                    K[1, 2] -= bbox[1]
-
-                if self.image_shape is not None:
-                    h_before, w_before = image.shape[:2]
-                    image = img_utils.resize_image(image, self.image_shape)
-                    K[0] *= self.image_shape[1] / w_before
-                    K[1] *= self.image_shape[0] / h_before
-
-                if self.norm_image:
-                    image = img_utils.normalize_image(image)
-
-            sample["images"].append(image)
+            tasks.append((len(sample["images"]), image_path, bbox))
+            sample["images"].append(None)  # filled by the loading layer
             sample["detections"].append(
                 np.array(list(bbox) + [1.0], np.float32))
             sample["cameras_R"].append(R)
@@ -207,7 +187,92 @@ class Human36MMultiViewDataset:
         if self.keypoints_3d_pred is not None:
             sample["pred_keypoints_3d"] = \
                 self.keypoints_3d_pred[idx].astype(np.float32)
+        return sample, tasks
+
+    @property
+    def _fast_path(self) -> bool:
+        """The fused native pipeline covers the standard configuration."""
+        return (self._native is not None and self.crop
+                and self.image_shape is not None and self.norm_image)
+
+    def _load_image(self, image_path, bbox):
+        """Single-image load (native if possible, else the cv2 reference
+        path — human36m.py:143-163 semantics, BGR order).
+
+        Returns ``(image, (h_before, w_before))`` with the pre-resize dims
+        (needed for the K rescale when ``crop=False``).
+        """
+        if self._fast_path:
+            decoded = self._native.decode_jpeg(image_path)
+            if decoded is not None:
+                image = self._native.process_image(
+                    decoded, bbox, self.image_shape, normalize=True)
+                return image, (bbox[3] - bbox[1], bbox[2] - bbox[0])
+
+        import cv2
+
+        image = cv2.imread(image_path)  # BGR, like the reference
+        assert image is not None, f"{image_path} doesn't exist"
+        if self.crop:
+            image = img_utils.crop_image(image, bbox)
+        h_before, w_before = image.shape[:2]
+        if self.image_shape is not None:
+            image = img_utils.resize_image(image, self.image_shape)
+        if self.norm_image:
+            image = img_utils.normalize_image(image)
+        return image, (h_before, w_before)
+
+    def _fix_uncropped_intrinsics(self, sample, slot, dims):
+        """K rescale for crop=False + resize (update_after_resize parity):
+        _sample_meta can't finalize K without the real image dims."""
+        if self.crop or self.image_shape is None:
+            return
+        K = sample["cameras_K"][slot]
+        K[0] *= self.image_shape[1] / dims[1]
+        K[1] *= self.image_shape[0] / dims[0]
+        R, t = sample["cameras_R"][slot], sample["cameras_t"][slot]
+        sample["proj_matrices"][slot] = (
+            K @ np.hstack([R, t])).astype(np.float32)
+
+    def __getitem__(self, idx):
+        """Returns a dict with per-view lists (missing views skipped) —
+        mirroring human36m.py:116-189 — plus ``view_valid`` flags used by the
+        static-shape collate."""
+        sample, tasks = self._sample_meta(idx)
+        for slot, image_path, bbox in tasks:
+            image, dims = self._load_image(image_path, bbox)
+            sample["images"][slot] = image
+            self._fix_uncropped_intrinsics(sample, slot, dims)
         return sample
+
+    def get_batch(self, idxs):
+        """Load a whole batch of samples, decoding all B*V JPEGs in one
+        thread-pooled native call (the reference's num_workers analogue,
+        train.py:78,107).  Falls back to the per-sample path when the fused
+        pipeline doesn't apply."""
+        if not self._fast_path:
+            return [self[int(i)] for i in idxs]
+        if getattr(self, "_batch_loader", None) is None:
+            self._batch_loader = self._native.NativeBatchLoader()
+
+        metas = [self._sample_meta(int(i)) for i in idxs]
+        paths, bboxes, slots = [], [], []
+        for si, (_, tasks) in enumerate(metas):
+            for slot, image_path, bbox in tasks:
+                paths.append(image_path)
+                bboxes.append(bbox)
+                slots.append((si, slot))
+        if paths:
+            out, ok = self._batch_loader.load(
+                paths, np.asarray(bboxes, np.int32), self.image_shape)
+            for (si, slot), image, good, path, bbox in zip(
+                    slots, out, ok, paths, bboxes):
+                if good:
+                    metas[si][0]["images"][slot] = image
+                else:  # e.g. non-JPEG test fixtures: cv2 fallback
+                    metas[si][0]["images"][slot], _ = self._load_image(path,
+                                                                       bbox)
+        return [sample for sample, _ in metas]
 
     # -- evaluation ---------------------------------------------------------
 

@@ -116,5 +116,13 @@ def make_optimizer(config, params, model_name: str):
     tx = optax.multi_transform(transforms, labels)
 
     if opt_cfg.get("grad_clip") is not None:
-        tx = optax.chain(optax.clip_by_global_norm(opt_cfg.grad_clip / lr), tx)
+        # Frozen params have no gradients in the reference (requires_grad=
+        # False), so they must not contribute to the clip norm: zero them
+        # before clip_by_global_norm.
+        import jax
+
+        frozen_mask = jax.tree.map(lambda l: l == "frozen", labels)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen_mask),
+            optax.clip_by_global_norm(opt_cfg.grad_clip / lr), tx)
     return tx

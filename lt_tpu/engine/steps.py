@@ -33,13 +33,19 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def _model_outputs(model, model_name, variables, batch, train, rngs):
+def _model_outputs(model, model_name, variables, batch, train, rngs,
+                   use_gt_pelvis: bool = False):
     """Dispatch the model forward over a prepared batch dict."""
     images = batch["images"]
     proj = batch["proj_matrices"]
     view_mask = batch.get("view_mask")
     if model_name == "vol":
-        pelvis = batch.get("pred_keypoints_3d", batch["keypoints_3d"])
+        # Pelvis source (triangulation.py:286-294): GT keypoints when
+        # use_gt_pelvis, else the algebraic model's precomputed predictions.
+        if use_gt_pelvis:
+            pelvis = batch["keypoints_3d"]
+        else:
+            pelvis = batch.get("pred_keypoints_3d", batch["keypoints_3d"])
         return model.apply(variables, images, proj, pelvis, train=train,
                            view_mask=view_mask, rngs=rngs,
                            mutable=["batch_stats"] if train else False)
@@ -81,6 +87,21 @@ def compute_losses(model_name: str, criterion, config, out, batch):
         metrics["volumetric_ce_loss"] = ce
         total = total + config.opt.get("volumetric_ce_loss_weight", 1.0) * ce
 
+    if model_name == "vol" and hasattr(out, "base_points"):
+        # base_point_l2 (train.py:251-263): distance between the cuboid
+        # anchor and the GT pelvis, in scaled keypoint units.
+        kind = config.model.get("kind", "mpii")
+        n_joints = kp_gt.shape[1]
+        if kind == "coco" and n_joints > 12:
+            gt_base = (kp_gt[:, 11] + kp_gt[:, 12]) / 2.0
+        elif kind != "coco" and n_joints > 6:
+            gt_base = kp_gt[:, 6]
+        else:
+            gt_base = None
+        if gt_base is not None:
+            diff = (out.base_points - gt_base) * scale
+            metrics["base_point_l2"] = jnp.sqrt((diff ** 2).sum(-1)).mean()
+
     metrics["total_loss"] = total
     metrics["l2"] = losses.keypoints_l2_loss(kp_pred * scale, kp_gt * scale,
                                              validity)
@@ -91,6 +112,8 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
                     ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
+    use_gt_pelvis = bool(config.model.get("use_gt_pelvis", False))
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         rngs = {"aug": jax.random.fold_in(rng, state.step)}
@@ -98,7 +121,7 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
         def forward(params, batch_stats, batch, rngs):
             variables = {"params": params, "batch_stats": batch_stats}
             return _model_outputs(model, model_name, variables, batch, True,
-                                  rngs)
+                                  rngs, use_gt_pelvis=use_gt_pelvis)
 
         if config.opt.get("remat") and model_name != "vol":
             # Rematerialization for models without built-in per-block remat
@@ -122,8 +145,17 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        metrics["grad_norm_times_lr"] = (optax.global_norm(grads)
-                                         * config.opt.lr)
+        # Reference semantics (train.py:240-242): L2 norm of the *trainable*
+        # gradients, measured after clipping, times lr.
+        from lt_tpu.engine import factory as _factory
+
+        labels = _factory._label_params(state.params, model_name)
+        trainable = jax.tree.map(
+            lambda g, l: g * float(l != "frozen"), grads, labels)
+        norm = optax.global_norm(trainable)
+        if config.opt.get("grad_clip") is not None:
+            norm = jnp.minimum(norm, config.opt.grad_clip / config.opt.lr)
+        metrics["grad_norm_times_lr"] = norm * config.opt.lr
         new_state = TrainState(new_params, new_stats, new_opt_state,
                                state.step + 1)
         return new_state, metrics
@@ -133,11 +165,13 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
 
 def make_eval_step(model, model_name: str, criterion, config) -> Callable:
     """Build the jitted eval step: (state, batch) -> (keypoints, metrics)."""
+    use_gt_pelvis = bool(config.model.get("use_gt_pelvis", False))
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out = _model_outputs(model, model_name, variables, batch, False, None)
+        out = _model_outputs(model, model_name, variables, batch, False, None,
+                             use_gt_pelvis=use_gt_pelvis)
         _, metrics = compute_losses(model_name, criterion, config, out, batch)
         return out.keypoints_3d, metrics
 

@@ -287,7 +287,8 @@ def eval_epoch(eval_step, state, iterator, config, epoch: int,
                 scalar_metric, full_metric = dataset.evaluate(preds)
             else:  # partial eval (drop_last): score what we have
                 scalar_metric, full_metric = _partial_evaluate(
-                    dataset, preds, results["indexes"][order])
+                    dataset, preds, results["indexes"][order],
+                    kind=config.get("kind", "human36m"))
         except Exception as e:  # train.py:342-346 behavior
             print("Failed to evaluate. Reason:", e)
 
@@ -307,16 +308,20 @@ def eval_epoch(eval_step, state, iterator, config, epoch: int,
     return scalar_metric, full_metric, results
 
 
-def _partial_evaluate(dataset, preds, indexes):
+def _partial_evaluate(dataset, preds, indexes, kind: str = "human36m"):
     """MPJPE over an index subset (used when drop_last trims the tail)."""
     gt = np.stack([
         dataset[int(i)]["keypoints_3d"][:, :3] if not hasattr(
             dataset, "keypoints_world") else dataset.keypoints_world(int(i))
         for i in indexes])
     per_pose = np.sqrt(((gt - preds) ** 2).sum(2)).mean(1)
-    root = 6
-    gt_rel = gt - gt[:, root:root + 1]
-    pr_rel = preds - preds[:, root:root + 1]
+    if kind == "coco":  # pelvis = midpoint of the hips (vis.py kind tables)
+        gt_root = (gt[:, 11:12] + gt[:, 12:13]) / 2.0
+        pr_root = (preds[:, 11:12] + preds[:, 12:13]) / 2.0
+    else:  # human36m/mpii root joint 6 (human36m.py:258-266)
+        gt_root, pr_root = gt[:, 6:7], preds[:, 6:7]
+    gt_rel = gt - gt_root
+    pr_rel = preds - pr_root
     per_pose_rel = np.sqrt(((gt_rel - pr_rel) ** 2).sum(2)).mean(1)
     scalar = float(per_pose_rel.mean())
     return scalar, {"per_pose_error": {"Average": {
@@ -330,6 +335,10 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     """Full driver (train.py:383-478 parity). Returns the final val metric."""
     from lt_tpu.utils.cache import enable_compilation_cache
 
+    # Multi-host rendezvous must precede any backend touch (the reference's
+    # init_distributed runs first in main() for the same reason,
+    # train.py:385).
+    mesh_lib.initialize_multihost()
     enable_compilation_cache()
 
     config = cfg_lib.load_config(config_path)

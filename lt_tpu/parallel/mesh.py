@@ -55,15 +55,38 @@ def is_master() -> bool:
     return jax.process_index() == 0
 
 
-def initialize_multihost():
+#: Environment keys whose presence marks a multi-host launch. On TPU pods
+#: the runtime exports a coordinator address, so there is no MASTER_PORT/
+#: RANK plumbing like the reference's env:// rendezvous (train.py:368-380).
+_COORDINATOR_ENV_KEYS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def is_multihost_env() -> bool:
+    """True when the environment describes a multi-host launch."""
+    import os
+
+    if any(k in os.environ for k in _COORDINATOR_ENV_KEYS):
+        return True
+    # TPU runtimes export the worker list; a single entry means one host.
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+
+
+def initialize_multihost() -> bool:
     """Multi-host init (replaces torch.distributed env:// rendezvous).
 
-    No-op on a single process; on TPU pods the coordinator address comes
-    from the environment, so no MASTER_PORT/RANK plumbing is needed.
+    Must run before any backend touch (``jax.devices()`` et al.).  Returns
+    True when a multi-host runtime was detected and initialized; on a plain
+    single process it is a no-op (the reference's WORLD_SIZE-unset fallback,
+    train.py:369-370).
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    if not is_multihost_env():
+        return False
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-process run
+        return True
+    except RuntimeError:
+        return False  # already initialized

@@ -172,8 +172,10 @@ def test_end_to_end_training_learns(tmp_path):
     lines = [json.loads(l) for l in open(exp_dir / "metrics.jsonl")
              if json.loads(l)["tag"] == "train"]
     assert len(lines) == 16
-    first, last = lines[0]["total_loss"], lines[-1]["total_loss"]
-    assert last < first, f"loss did not drop: {first} -> {last}"
+    # Per-batch losses are noisy: compare 4-iteration means, not endpoints.
+    first = np.mean([l["total_loss"] for l in lines[:4]])
+    last = np.mean([l["total_loss"] for l in lines[-4:]])
+    assert last < 0.93 * first, f"loss did not drop: {first} -> {last}"
     # Checkpoint written and restorable.
     from lt_tpu.engine import checkpoint as ckpt
 

@@ -19,10 +19,10 @@ def _setup():
                 "volumetric_ce_loss_weight": 0.01,
                 "scale_keypoints_3d": 0.1, "grad_clip": 1.0},
         "model": {"name": "vol",
-                  "backbone": {"num_joints": 5, "num_layers": 18}},
+                  "backbone": {"num_joints": 7, "num_layers": 18}},
     })
     model = VolumetricTriangulationNet(
-        num_joints=5, num_layers=18, volume_size=32, kind="mpii")
+        num_joints=7, num_layers=18, volume_size=32, kind="mpii")
     rng = np.random.RandomState(0)
     b, v = 2, 2
     batch = {
@@ -30,9 +30,9 @@ def _setup():
         "proj_matrices": jnp.asarray(
             rng.randn(b, v, 3, 4).astype(np.float32)),
         "keypoints_3d": jnp.asarray(np.concatenate(
-            [rng.uniform(-300, 300, (b, 5, 3)),
-             np.ones((b, 5, 1))], -1).astype(np.float32)),
-        "keypoints_validity": jnp.ones((b, 5, 1)),
+            [rng.uniform(-300, 300, (b, 7, 3)),
+             np.ones((b, 7, 1))], -1).astype(np.float32)),
+        "keypoints_validity": jnp.ones((b, 7, 1)),
         "view_mask": jnp.ones((b, v)),
         "pred_keypoints_3d": jnp.asarray(
             rng.uniform(-300, 300, (b, 7, 3)).astype(np.float32)),
@@ -80,6 +80,28 @@ def test_train_step_freezes_final_layer_and_updates_rest():
     assert float(metrics["grad_norm_times_lr"]) >= 0
 
 
+def test_use_gt_pelvis_overrides_predictions():
+    """use_gt_pelvis must anchor the cuboid at the GT pelvis even when
+    pred_keypoints_3d is present (triangulation.py:286-294)."""
+    config, model, variables, batch = _setup()
+    criterion = factory.make_criterion(config)
+    state = TrainState(variables["params"], variables["batch_stats"], None,
+                       jnp.zeros((), jnp.int32))
+
+    # Both keys present and very different: the flag decides.
+    config.model.use_gt_pelvis = True
+    eval_step = make_eval_step(model, "vol", criterion, config)
+    _, metrics = eval_step(state, batch)
+    # base_point == GT pelvis -> base_point_l2 is exactly 0.
+    np.testing.assert_allclose(float(metrics["base_point_l2"]), 0.0,
+                               atol=1e-5)
+
+    config.model.use_gt_pelvis = False
+    eval_step_pred = make_eval_step(model, "vol", criterion, config)
+    _, metrics_pred = eval_step_pred(state, batch)
+    assert float(metrics_pred["base_point_l2"]) > 1.0  # anchored at preds
+
+
 def test_eval_step_deterministic():
     config, model, variables, batch = _setup()
     criterion = factory.make_criterion(config)
@@ -89,4 +111,4 @@ def test_eval_step_deterministic():
     kp1, m1 = eval_step(state, batch)
     kp2, m2 = eval_step(state, batch)
     np.testing.assert_array_equal(np.asarray(kp1), np.asarray(kp2))
-    assert kp1.shape == (2, 5, 3)
+    assert kp1.shape == (2, 7, 3)

@@ -1,0 +1,168 @@
+"""Multi-device data parallelism tests over the virtual 8-device CPU mesh.
+
+The DDP replacement (lt_tpu.parallel.mesh + replicated-params/sharded-batch
+jit — /root/reference/train.py:368-380,452-453,68 parity) exercised for real:
+mesh construction, batch sharding, a full sharded training step checked
+against the single-device step, and a masked-view sharded eval.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lt_tpu.engine import factory
+from lt_tpu.engine.steps import TrainState, make_eval_step, make_train_step
+from lt_tpu.models.triangulation import AlgebraicTriangulationNet
+from lt_tpu.parallel import mesh as mesh_lib
+from lt_tpu.utils.cfg import AttrDict
+
+
+def _alg_setup(batch_size=8, n_views=2, num_joints=3, image=32):
+    config = AttrDict({
+        "kind": "human36m",
+        "opt": {"criterion": "MSESmooth", "lr": 1e-3,
+                "scale_keypoints_3d": 0.1},
+        "model": {"name": "alg",
+                  "backbone": {"num_joints": num_joints, "num_layers": 18}},
+    })
+    model = AlgebraicTriangulationNet(num_joints=num_joints, num_layers=18,
+                                      use_confidences=True)
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randn(batch_size, n_views, image, image,
+                            3).astype(np.float32),
+        "proj_matrices": rng.randn(batch_size, n_views, 3,
+                                   4).astype(np.float32),
+        "keypoints_3d": np.concatenate(
+            [rng.uniform(-300, 300, (batch_size, num_joints, 3)),
+             np.ones((batch_size, num_joints, 1))], -1).astype(np.float32),
+        "keypoints_validity": np.ones((batch_size, num_joints, 1),
+                                      np.float32),
+        "view_mask": np.ones((batch_size, n_views), np.float32),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(batch["images"]),
+        jnp.asarray(batch["proj_matrices"]))
+    return config, model, dict(variables), batch
+
+
+def test_make_mesh_and_shardings():
+    assert len(jax.devices()) >= 8, "conftest must provision 8 CPU devices"
+    mesh = mesh_lib.make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+    sharded = mesh_lib.shard_batch(batch, mesh)
+    # One shard of the leading axis per device.
+    db = sharded["x"].sharding.device_set
+    assert len(db) == 8
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+
+    rep = jax.device_put(np.ones(3, np.float32),
+                         mesh_lib.replicated_sharding(mesh))
+    assert rep.sharding.is_fully_replicated
+
+
+def test_sharded_train_step_matches_single_device():
+    """Replicated params + sharded batch == unsharded step (DDP semantics:
+    the gradient all-reduce XLA inserts must reproduce the single-device
+    gradient)."""
+    config, model, variables, batch = _alg_setup(batch_size=8)
+    criterion = factory.make_criterion(config)
+    optimizer = factory.make_optimizer(config, variables["params"], "alg")
+
+    def fresh_state():
+        # Deep copies: the train step donates its state buffers.
+        params = jax.tree.map(jnp.copy, variables["params"])
+        stats = jax.tree.map(jnp.copy, variables["batch_stats"])
+        return TrainState(params, stats, optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    train_step = make_train_step(model, "alg", criterion, optimizer, config)
+
+    # Single device baseline.
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref_state, ref_metrics = train_step(fresh_state(), device_batch,
+                                        jax.random.PRNGKey(2))
+    ref_loss = float(ref_metrics["total_loss"])
+
+    # 8-device mesh: params replicated, batch sharded on 'data'.
+    mesh = mesh_lib.make_mesh(8)
+    sharded_state = jax.device_put(fresh_state(),
+                                   mesh_lib.replicated_sharding(mesh))
+    sharded_batch = mesh_lib.shard_batch(batch, mesh)
+    new_state, metrics = train_step(sharded_state, sharded_batch,
+                                    jax.random.PRNGKey(2))
+    jax.block_until_ready(new_state.params)
+
+    np.testing.assert_allclose(float(metrics["total_loss"]), ref_loss,
+                               rtol=1e-5)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+    got_leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_eval_with_view_mask():
+    """Masked views under sharding behave like the unsharded eval."""
+    config, model, variables, batch = _alg_setup(batch_size=8, n_views=3)
+    batch["view_mask"][:, 2] = 0.0  # third view missing everywhere
+    batch["images"][:, 2] = 0.0
+    criterion = factory.make_criterion(config)
+    state = TrainState(variables["params"], variables["batch_stats"], None,
+                       jnp.zeros((), jnp.int32))
+    eval_step = make_eval_step(model, "alg", criterion, config)
+
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    kp_ref, metrics_ref = eval_step(state, device_batch)
+
+    mesh = mesh_lib.make_mesh(8)
+    sharded_state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    kp, metrics = eval_step(sharded_state, mesh_lib.shard_batch(batch, mesh))
+    np.testing.assert_allclose(np.asarray(kp), np.asarray(kp_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(metrics["l2"]),
+                               float(metrics_ref["l2"]), rtol=1e-5)
+
+
+def test_master_and_multihost_detection(monkeypatch):
+    assert mesh_lib.is_master()  # single-process: rank 0
+    # Single-host env (incl. TPU_WORKER_HOSTNAMES=localhost) -> a no-op
+    # (the WORLD_SIZE-unset fallback, train.py:369-370).
+    for k in mesh_lib._COORDINATOR_ENV_KEYS:
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert mesh_lib.is_multihost_env() is False
+    assert mesh_lib.initialize_multihost() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert mesh_lib.is_multihost_env() is True
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entrypoint():
+    """The driver hook self-provisions a virtual mesh and runs one step."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in (env.get("PYTHONPATH", ""), repo) if p)
+    # Simulate the driver: a process with too few devices for the mesh
+    # (strip the 8-device flag conftest exported so the parent sees 1 CPU
+    # device and must self-provision via the child).
+    env.pop("_LT_TPU_DRYRUN_CHILD", None)
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4) OK" in proc.stdout

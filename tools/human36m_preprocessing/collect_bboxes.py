@@ -2,10 +2,15 @@
 
 Offline equivalent of the reference's ``collect-bboxes.py``
 (/root/reference/mvn/datasets/human36m_preprocessing/collect-bboxes.py:30-118):
-scans each ``MySegmentsMat/ground_truth_bs`` .mat file, finds the tight
+reads each ``MySegmentsMat/ground_truth_bb`` .mat file, finds the tight
 nonzero-mask box per frame, and writes one nested dict
 ``{subject: {action: {camera: (n_frames, 4) int array}}}`` to
 ``<h36m_root>/extra/bboxes-Human36M-GT.npy``.
+
+The output is keyed by canonical H36M action names (``Greeting-1``); the
+.mat stems with their swapped S1 trial quirks are resolved through
+``action_quirks.action_to_bbox_stem`` (collect-bboxes.py:47 semantics),
+so downstream ``generate_labels.py`` lookups can never silently mispair.
 
 Usage:
     python collect_bboxes.py <h36m_root> [--processes N]
@@ -15,9 +20,13 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 from multiprocessing import Pool
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from action_quirks import action_to_bbox_stem  # noqa: E402
 
 
 def mask_to_bbox(mask: np.ndarray):
@@ -52,16 +61,35 @@ def main():
     processed = os.path.join(args.h36m_root, "processed")
     for subject in sorted(os.listdir(processed)):
         seg_dir = os.path.join(processed, subject, "MySegmentsMat",
-                               "ground_truth_bs")
+                               "ground_truth_bb")
+        if not os.path.isdir(seg_dir):  # some dumps name it ground_truth_bs
+            seg_dir = os.path.join(processed, subject, "MySegmentsMat",
+                                   "ground_truth_bs")
         if not os.path.isdir(seg_dir):
             continue
+        # Map each '<stem>.<camera>.mat' back to its canonical H36M action
+        # name via the quirk table (inverse of collect-bboxes.py:47).
+        stem_to_action = {}
         for name in sorted(os.listdir(seg_dir)):
             if not name.endswith(".mat"):
                 continue
-            # '<action>.<camera>.mat'
-            stem = name[:-4]
-            action, _, camera = stem.rpartition(".")
-            tasks.append((subject, action, camera,
+            stem, _, camera = name[:-4].rpartition(".")
+            if stem not in stem_to_action:
+                # Find which H36M action resolves to this stem.
+                base = stem.split(" ")[0]
+                cands = [f"{b}-{t}" for b in
+                         {base, {"Photo": "TakingPhoto",
+                                 "WalkDog": "WalkingDog",
+                                 "WalkTogether": "WalkingTogether"
+                                 }.get(base, base)}
+                         for t in (1, 2)]
+                matches = [a for a in cands
+                           if action_to_bbox_stem(subject, a) == stem]
+                stem_to_action[stem] = matches[0] if matches else stem
+                if not matches:
+                    print(f"Warning: no action mapping for {subject}/{stem}; "
+                          "keeping the raw stem as key")
+            tasks.append((subject, stem_to_action[stem], camera,
                           os.path.join(seg_dir, name)))
 
     result: dict = {}

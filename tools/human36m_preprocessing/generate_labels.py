@@ -13,12 +13,13 @@ Usage:
     python generate_labels.py <h36m_root> <una_dinosauria_root> <bboxes.npy>
         [--bboxes-source GT] [--action-map action_map.json]
 
-Action-name quirks: trial suffixes differ between the H36M image dumps and
-the una-dinosauria pose files for S9/S11 (e.g. ``WalkingDog-1`` vs
-``WalkDog 1``).  Instead of a hardcoded quirk table, this script resolves
-names by (1) rule-based renames, (2) probing which candidate files exist,
-and (3) an optional explicit JSON override (``--action-map``) for corpora
-whose trial numbering is swapped.
+Action-name quirks: trial suffixes differ (and are swapped!) between the
+H36M image dumps and the una-dinosauria pose files (e.g. S11
+``Greeting-1`` is pose file ``Greeting 2``).  Resolution order per
+(subject, action): (1) explicit JSON override (``--action-map``), (2) the
+corpus quirk table (``action_quirks.ACTION_TO_POSE_STEM`` — the reference's
+action_to_una_dinosauria.py facts), (3) rule-based candidate probing for
+corpora with different layouts.
 """
 
 from __future__ import annotations
@@ -29,6 +30,9 @@ import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from action_quirks import action_to_pose_stem  # noqa: E402
 
 SUBJECTS = ["S1", "S5", "S6", "S7", "S8", "S9", "S11"]
 CAMERAS = ["54138969", "55011271", "58860488", "60457274"]
@@ -75,10 +79,16 @@ def candidate_pose_names(action: str):
     return [base, f"{base} {trial}", f"{base} 1", f"{base} 3"]
 
 
-def resolve_pose_file(poses_dir: str, action: str, used: set,
+def resolve_pose_file(poses_dir: str, subject: str, action: str, used: set,
                       override: dict) -> str:
     if action in override:
         return os.path.join(poses_dir, override[action] + ".h5")
+    # Corpus quirk table first (generate-labels-npy-multiview.py:181
+    # semantics): these pairings are facts, not derivable by probing.
+    quirk = os.path.join(poses_dir, action_to_pose_stem(subject, action)
+                         + ".h5")
+    if os.path.isfile(quirk):
+        return quirk
     for cand in candidate_pose_names(action):
         path = os.path.join(poses_dir, cand + ".h5")
         if os.path.isfile(path) and path not in used:
@@ -170,7 +180,7 @@ def main():
             if frame_idxs is None:
                 raise FileNotFoundError(action_path)
 
-            pose_path = resolve_pose_file(poses_dir, action,
+            pose_path = resolve_pose_file(poses_dir, subject, action,
                                           used, override.get(subject, {}))
             used.add(pose_path)
             with h5py.File(pose_path, "r") as f:
