@@ -91,10 +91,23 @@ def main():
     proj_hm = proj * jnp.asarray([hm_h / args.image, hm_h / args.image, 1.0]
                                  )[:, None]
 
-    unproj = jax.jit(lambda f, p, c: vol_ops.unproject_heatmaps(
-        f, p, c, "softmax"))
-    t_unproj, volumes = timed(unproj, feats_views, proj_hm, coords,
-                              iters=args.iters)
+    if jax.default_backend() == "tpu":
+        # The production path: fused Pallas unprojection + in-kernel
+        # softmax aggregation (NDHWC out).
+        from lt_tpu.ops.pallas import unproject as pallas_unproject
+
+        grid_affine = vol_ops.coord_volume_affine(base, 2500.0, args.volume)
+        unproj = jax.jit(lambda f, p, g: jnp.moveaxis(
+            pallas_unproject.unproject_heatmaps_affine(
+                f, p, g, args.volume, "softmax", fuse_aggregation=True,
+                channels_last=True), -1, 1))
+        t_unproj, volumes = timed(unproj, feats_views, proj_hm, grid_affine,
+                                  iters=args.iters)
+    else:
+        unproj = jax.jit(lambda f, p, c: vol_ops.unproject_heatmaps(
+            f, p, c, "softmax"))
+        t_unproj, volumes = timed(unproj, feats_views, proj_hm, coords,
+                                  iters=args.iters)
 
     v2v = V2VModel(output_channels=j, compute_dtype=dtype)
     volumes_ndhwc = jnp.moveaxis(volumes, 1, -1)

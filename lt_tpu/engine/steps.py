@@ -163,6 +163,20 @@ def make_train_step(model, model_name: str, criterion, optimizer, config
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_vis_step(model, model_name: str, config) -> Callable:
+    """Jitted full-output forward for tensorboard panels: (state, batch) ->
+    the model's output NamedTuple (heatmaps/volumes/confidences included)."""
+    use_gt_pelvis = bool(config.model.get("use_gt_pelvis", False))
+
+    def vis_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        return _model_outputs(model, model_name, variables, batch, False,
+                              None, use_gt_pelvis=use_gt_pelvis)
+
+    return jax.jit(vis_step)
+
+
 def make_eval_step(model, model_name: str, criterion, config) -> Callable:
     """Build the jitted eval step: (state, batch) -> (keypoints, metrics)."""
     use_gt_pelvis = bool(config.model.get("use_gt_pelvis", False))

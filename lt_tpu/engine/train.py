@@ -25,7 +25,8 @@ import numpy as np
 from lt_tpu.data.batch import BatchIterator, prepare_batch
 from lt_tpu.engine import checkpoint as ckpt
 from lt_tpu.engine import factory
-from lt_tpu.engine.steps import TrainState, make_eval_step, make_train_step
+from lt_tpu.engine.steps import (TrainState, make_eval_step,
+                                 make_train_step, make_vis_step)
 from lt_tpu.parallel import mesh as mesh_lib
 from lt_tpu.utils import cfg as cfg_lib
 
@@ -207,7 +208,7 @@ def _device_batch(batch, config):
 
 def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
                 config, n_iters_total: int, n_iters_per_epoch=None,
-                eval_step=None):
+                vis_step=None):
     """One training epoch (train.py:154-365, is_train branch)."""
     vis_freq = config.get("vis_freq")
     end = time.time()
@@ -230,31 +231,63 @@ def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
                                  "n_views": batch["images"].shape[1]},
                        n_iters_total)
         if (master and vis_freq and logger is not None
-                and logger.writer is not None and eval_step is not None
+                and logger.writer is not None and vis_step is not None
                 and n_iters_total % vis_freq == 0):
-            _log_vis_panels(logger.writer, eval_step, state, batch,
-                            device_batch, config, n_iters_total)
+            _log_vis_panels(logger.writer, vis_step, state, batch,
+                            device_batch, config, n_iters_total,
+                            model_name=config.model.name)
         end = time.time()
         n_iters_total += 1
     return state, n_iters_total
 
 
-def _log_vis_panels(writer, eval_step, state, batch, device_batch, config,
-                    step: int):
-    """Tensorboard image panels every vis_freq iters (train.py:271-305)."""
+def _log_vis_panels(writer, vis_step, state, batch, device_batch, config,
+                    step: int, model_name: str = "alg"):
+    """Tensorboard image panels every vis_freq iters (train.py:271-305):
+    keypoint grid (+ cuboid wireframe for vol), heatmap overlays, volume
+    MIPs, and parameter histograms (train.py:307-315)."""
     try:
         from lt_tpu.utils import vis
 
-        keypoints, _ = eval_step(state, device_batch)
-        kp_pred = np.asarray(keypoints)
+        out = jax.device_get(vis_step(state, device_batch))
+        kp_pred = np.asarray(out.keypoints_3d)
+        kind = config.get("kind", "human36m")
         n = min(batch["images"].shape[0], config.get("vis_n_elements", 2))
+
+        confidences = getattr(out, "confidences", None)
+        cuboids = None
+        if model_name == "vol":
+            side = config.model.get("cuboid_side", 2500.0)
+            sides = np.array([side, side, side], np.float32)
+            cuboids = (np.asarray(out.base_points) - sides / 2.0, sides)
+        keypoints_2d = getattr(out, "keypoints_2d", None)
+
         for bi in range(n):
             panel = vis.visualize_batch(
-                batch["images"], None, None, batch["proj_matrices"],
-                batch["keypoints_3d"][:, :, :3], kp_pred,
-                kind=config.get("kind", "human36m"), batch_index=bi)
+                batch["images"], None, keypoints_2d,
+                batch["proj_matrices"], batch["keypoints_3d"][:, :, :3],
+                kp_pred, kind=kind, confidences=confidences,
+                cuboids=cuboids, batch_index=bi)
             writer.add_image(f"train/keypoints_vis/{bi}",
                              panel.transpose(2, 0, 1), global_step=step)
+            if getattr(out, "heatmaps", None) is not None:
+                panel = vis.visualize_heatmaps(
+                    batch["images"], np.asarray(out.heatmaps), kind=kind,
+                    batch_index=bi)
+                writer.add_image(f"train/heatmaps_vis/{bi}",
+                                 panel.transpose(2, 0, 1), global_step=step)
+            if getattr(out, "volumes", None) is not None:
+                panel = vis.visualize_volumes(
+                    batch["images"], np.asarray(out.volumes),
+                    batch["proj_matrices"], kind=kind, batch_index=bi)
+                writer.add_image(f"train/volumes_vis/{bi}",
+                                 panel.transpose(2, 0, 1), global_step=step)
+
+        # Parameter histograms (train.py:307-315).
+        flat, _ = jax.tree_util.tree_flatten_with_path(state.params)
+        for path, leaf in flat:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            writer.add_histogram(f"model/{name}", np.asarray(leaf), step)
     except Exception as e:  # vis must never take down training
         print("vis logging failed:", e)
 
@@ -395,6 +428,8 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     train_step = make_train_step(model, model_name, criterion, optimizer,
                                  config)
     eval_step = make_eval_step(model, model_name, criterion, config)
+    vis_step = (make_vis_step(model, model_name, config)
+                if config.get("vis_freq") else None)
 
     experiment_dir, writer = (None, None)
     if mesh_lib.is_master():
@@ -420,7 +455,7 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         state, n_iters_total = train_epoch(
             train_step, state, train_it, epoch, rng, logger, config,
             n_iters_total, config.opt.get("n_iters_per_epoch"),
-            eval_step=eval_step)
+            vis_step=vis_step)
         if profile_dir and epoch == 0:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()

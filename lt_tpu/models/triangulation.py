@@ -270,10 +270,18 @@ class VolumetricTriangulationNet(nn.Module):
                 base_points, self.cuboid_side, self.volume_size,
                 rotation_thetas, axis=axis,
                 transfer_cmu_to_human36m=self.transfer_cmu_to_human36m)
+            # Inference fuses the cross-view aggregation into the kernel
+            # (no (B, V, N, C) HBM round-trip); training needs the VJP, so
+            # it aggregates in XLA but in the compute dtype — the f32
+            # softmax residual is what kept reference batch-5 training
+            # 0.5 GB over one chip's HBM (ROADMAP "Training memory").
+            agg_dtype = self.compute_dtype if train else None
             volumes = pallas_unproject.unproject_heatmaps_affine(
                 features, proj_hm, grid_affine, self.volume_size,
                 volume_aggregation_method=self.volume_aggregation_method,
                 vol_confidences=vol_conf, view_mask=view_mask,
+                fuse_aggregation=not train,
+                aggregation_dtype=agg_dtype,
                 channels_last=True)  # kernel scan order IS NDHWC: zero-copy
         else:
             volumes = vol_ops.unproject_heatmaps(

@@ -28,6 +28,36 @@ from flax import linen as nn
 from lt_tpu.models.backbone import BatchNorm
 
 
+def _use_pallas_conv3d(kernel: int, features: int, train: bool) -> bool:
+    """Gate for the fused inference conv kernel (see Conv3D).
+
+    OFF by default: the kernel beats XLA's conv standalone (6.9 vs 9.4 ms
+    at 64^3x32ch) and fusing BN/ReLU/skip recovers most in-context relayout
+    cost (115 -> 92 ms V2V), but XLA's fully-fused conv chain still wins
+    end-to-end (80 ms) because pool/upsample/k1/k7 boundaries remain.
+    Enable with LT_TPU_ENABLE_PALLAS_CONV3D=1; the decisive step is an
+    all-Pallas V2V level (ROADMAP).
+    """
+    import os
+
+    return (kernel == 3 and not train and 3 * features <= 128
+            and jax.default_backend() == "tpu"
+            and bool(os.environ.get("LT_TPU_ENABLE_PALLAS_CONV3D")))
+
+
+def _bn_constants(bn: "BatchNorm", channels: int):
+    """Read a BatchNorm child's inference constants for conv folding.
+
+    A dummy one-row call declares the variables (so init works); the values
+    are then read directly off the bound child — the parameter tree is
+    identical to the unfused path.
+    """
+    bn(jnp.zeros((1, channels), jnp.float32), train=False)
+    params = bn.variables["params"]["BatchNorm_0"]
+    stats = bn.variables["batch_stats"]["BatchNorm_0"]
+    return params["scale"], params["bias"], stats["mean"], stats["var"]
+
+
 class Conv3D(nn.Module):
     """3D convolution with a TPU-friendly z-decomposition.
 
@@ -51,7 +81,13 @@ class Conv3D(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True, bn_fold=None,
+                 relu: bool = False, residual=None):
+        """Args:
+          bn_fold: optional (scale, bias, mean, var) inference BatchNorm
+            constants folded into the conv (Pallas fast path only).
+          relu / residual: fused epilogue for the fast path.
+        """
         k = self.kernel
         in_features = x.shape[-1]
         kernel = self.param(
@@ -61,6 +97,29 @@ class Conv3D(nn.Module):
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
 
+        if _use_pallas_conv3d(k, self.features, train):
+            # Inference hot path: the Pallas slab kernel keeps the im2col
+            # patches in VMEM and fills (dx, cout) = 3*cout output lanes;
+            # folding BN/ReLU/skip into the call keeps consecutive convs
+            # custom-call-to-custom-call, avoiding XLA relayouts at every
+            # op boundary (the in-context cost that standalone conv
+            # benchmarks miss).  Training keeps the XLA conv (autodiff).
+            from lt_tpu.ops.pallas.conv3d import conv3d_same, fold_bn
+
+            w, b = kernel, bias
+            if bn_fold is not None:
+                from lt_tpu.models.backbone import BN_EPS
+
+                scale, bn_bias, mean, var = bn_fold
+                w, b = fold_bn(kernel, bias, scale, bn_bias, mean, var,
+                               eps=BN_EPS)
+            return conv3d_same(
+                x.astype(self.compute_dtype), w.astype(self.compute_dtype),
+                b, relu=relu, residual=residual,
+                out_dtype=self.compute_dtype)
+
+        assert bn_fold is None and not relu and residual is None, (
+            "fused epilogue requires the Pallas fast path")
         if k < 5:
             # Direct conv: for k=3 the z-decomposition's extra HBM traffic
             # (materializing the k*O-channel Q tensor) outweighs its MXU
@@ -117,9 +176,14 @@ class Basic3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = _conv3d(self.features, self.kernel, (self.kernel - 1) // 2,
-                    dtype=self.compute_dtype, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+        conv = _conv3d(self.features, self.kernel, (self.kernel - 1) // 2,
+                       dtype=self.compute_dtype, name="conv")
+        bn = BatchNorm(name="bn")
+        if _use_pallas_conv3d(self.kernel, self.features, train):
+            return conv(x, train, bn_fold=_bn_constants(bn, self.features),
+                        relu=True)
+        x = conv(x, train)
+        x = bn(x, train)
         return nn.relu(x)
 
 
@@ -131,21 +195,36 @@ class Res3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        res = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
-                      name="conv1")(x)
-        res = BatchNorm(name="bn1")(res, train)
-        res = nn.relu(res)
-        res = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
-                      name="conv2")(res)
-        res = BatchNorm(name="bn2")(res, train)
+        conv1 = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
+                        name="conv1")
+        bn1 = BatchNorm(name="bn1")
+        conv2 = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
+                        name="conv2")
+        bn2 = BatchNorm(name="bn2")
 
-        if x.shape[-1] == self.features:
-            skip = x
-        else:
-            skip = _conv3d(self.features, 1, 0, dtype=self.compute_dtype,
-                           name="skip_conv")(x)
-            skip = BatchNorm(name="skip_bn")(skip, train)
-        return nn.relu(res + skip)
+        def skip_branch():
+            if x.shape[-1] == self.features:
+                return x
+            s = _conv3d(self.features, 1, 0, dtype=self.compute_dtype,
+                        name="skip_conv")(x)
+            return BatchNorm(name="skip_bn")(s, train)
+
+        if _use_pallas_conv3d(3, self.features, train):
+            # Whole block = two fused kernel calls: conv+BN+relu, then
+            # conv+BN+skip-add+relu (v2v.py:20-42 semantics).
+            skip = skip_branch().astype(self.compute_dtype)
+            res = conv1(x, train, bn_fold=_bn_constants(bn1, self.features),
+                        relu=True)
+            return conv2(res, train,
+                         bn_fold=_bn_constants(bn2, self.features),
+                         relu=True, residual=skip)
+
+        res = conv1(x, train)
+        res = bn1(res, train)
+        res = nn.relu(res)
+        res = conv2(res, train)
+        res = bn2(res, train)
+        return nn.relu(res + skip_branch())
 
 
 def pool3d(x, size: int = 2):

@@ -39,13 +39,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
-                      height: int, width: int, channels: int,
-                      band_width=None, c0_ref=None):
-    """One (bv, voxel-tile) grid step."""
-    t = pl.program_id(1)
-    wc = width * channels
+def _tile_sample(read_band, m, t, *, tile: int, grid_size: int, height: int,
+                 width: int, channels: int, f32_mode: bool,
+                 band_width=None, c0=None):
+    """Bilinear samples of voxel tile ``t``: the shared sampling body.
 
+    Args:
+      read_band: callable (lane_start, n_lanes) -> (H, n_lanes) feature
+        slice (lane_start 128-aligned).
+      m: callable (i, j) -> scalar of the 3x4 affine matrix.
+      c0: optional traced scalar — precomputed column-band start (< 0 means
+        chunked full-width fallback); requires static ``band_width``.
+
+    Returns:
+      (TILE, C) float32 samples, zeroed where depth <= 0.
+    """
     # Voxel linear indices for this tile, in (gx, gy, gz) scan order
     # (gz fastest) matching build_coord_volumes.
     n = t * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
@@ -55,8 +63,7 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
 
     # Affine projection: [u, v, w] = M @ [gx, gy, gz, 1].  (TILE, 1) each.
     def row(i):
-        return (m_ref[0, i, 0] * gx + m_ref[0, i, 1] * gy
-                + m_ref[0, i, 2] * gz + m_ref[0, i, 3])
+        return m(i, 0) * gx + m(i, 1) * gy + m(i, 2) * gz + m(i, 3)
 
     u, v, w = row(0), row(1), row(2)
 
@@ -72,7 +79,6 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    f32_mode = f_ref.dtype == jnp.float32
     dims = (((1,), (0,)), ((), ()))
 
     def dot(lhs, rhs):
@@ -101,20 +107,20 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
         """
         bwc = band_w * channels
         start = pl.multiple_of(col0 * channels, 128)
-        f = f_ref[0, :, pl.ds(start, bwc)]              # (H, band_w*C)
+        f = read_band(start, bwc)                       # (H, band_w*C)
 
         # Row one-hot weights A (TILE, H): taps y0, y0+1; OOB rows drop.
         hh = jax.lax.broadcasted_iota(jnp.int32, (tile, height), 1)
         a = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
              + jnp.where(hh == y0i + 1, wy, 0.0))
-        m = dot_split(a, f) if f32_mode else dot(a.astype(f.dtype), f)
+        m2 = dot_split(a, f) if f32_mode else dot(a.astype(f.dtype), f)
 
         # Column weights vs absolute column index; lane l -> col0 + l // C.
         ww = (jax.lax.broadcasted_iota(jnp.int32, (tile, bwc), 1)
               // channels + col0)
         bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
                 + jnp.where(ww == x0i + 1, wx, 0.0))
-        p = m * bexp                                     # (TILE, bwc) f32
+        p = m2 * bexp                                    # (TILE, bwc) f32
 
         # Channel-collapse S (band_w*C, C): S[w*C + c, c] = 1 (0/1: exact).
         rows = jax.lax.broadcasted_iota(jnp.int32, (bwc, channels), 0)
@@ -126,12 +132,10 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
             return dot(p_hi, s) + dot(p_lo, s)           # (TILE, C)
         return dot(p.astype(jnp.bfloat16), s)
 
-    if c0_ref is not None:
+    if c0 is not None:
         # Host-precomputed column band (scalar-prefetched): c0 >= 0 means
         # every in-image tap of this tile lies in columns
         # [c0, c0 + band_width); c0 < 0 falls back to chunked full coverage.
-        c0 = c0_ref[pl.program_id(0), t]
-
         def banded():
             return sample_band(c0, band_width)
 
@@ -146,7 +150,148 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
     else:
         out = sample_band(0, width)
 
-    o_ref[0] = jnp.where(invalid, 0.0, out)
+    return jnp.where(invalid, 0.0, out)
+
+
+def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
+                      height: int, width: int, channels: int,
+                      band_width=None, c0_ref=None):
+    """One (bv, voxel-tile) grid step."""
+    t = pl.program_id(1)
+    c0 = None if c0_ref is None else c0_ref[pl.program_id(0), t]
+    o_ref[0] = _tile_sample(
+        lambda start, n_lanes: f_ref[0, :, pl.ds(start, n_lanes)],
+        lambda i, j: m_ref[0, i, j], t,
+        tile=tile, grid_size=grid_size, height=height, width=width,
+        channels=channels, f32_mode=f_ref.dtype == jnp.float32,
+        band_width=band_width, c0=c0)
+
+
+def _unproject_agg_kernel(c0_sref, m_ref, f_ref, mask_ref, conf_ref, o_ref,
+                          s_scratch, *, tile: int, grid_size: int,
+                          height: int, width: int, channels: int,
+                          band_width: int, n_views: int, method: str):
+    """One (batch, voxel-tile, view) grid step with in-VMEM aggregation.
+
+    Views iterate fastest; each step samples one view's tile into scratch
+    and the last view aggregates (softmax / conf / sum / max across the
+    view axis, reference op.py:149-164) and writes the output tile — the
+    (B, V, N, C) sampled tensor never exists in HBM.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    v = pl.program_id(2)
+
+    c0 = c0_sref[b, v, t]
+    out = _tile_sample(
+        lambda start, n_lanes: f_ref[0, pl.ds(v * height, height),
+                                     pl.ds(start, n_lanes)],
+        lambda i, j: m_ref[0, v, i, j], t,
+        tile=tile, grid_size=grid_size, height=height, width=width,
+        channels=channels, f32_mode=f_ref.dtype == jnp.float32,
+        band_width=band_width, c0=c0)
+    s_scratch[pl.ds(v, 1)] = out[None]
+
+    @pl.when(v == n_views - 1)
+    def _():
+        neg = jnp.float32(-1e9)
+        masked_vals = []
+        for u in range(n_views):
+            keep = mask_ref[b, u] > 0.0
+            masked_vals.append((keep, s_scratch[u]))
+
+        if method == "softmax":
+            logits = [jnp.where(k, val, neg) for k, val in masked_vals]
+            m0 = logits[0]
+            for lg in logits[1:]:
+                m0 = jnp.maximum(m0, lg)
+            num = jnp.zeros((tile, channels), jnp.float32)
+            den = jnp.zeros((tile, channels), jnp.float32)
+            for (k, val), lg in zip(masked_vals, logits):
+                e = jnp.exp(lg - m0)
+                den = den + e
+                num = num + e * jnp.where(k, val, 0.0)
+            agg = num / den
+        elif method == "sum":
+            agg = jnp.zeros((tile, channels), jnp.float32)
+            for k, val in masked_vals:
+                agg = agg + jnp.where(k, val, 0.0)
+        elif method == "max":
+            agg = jnp.full((tile, channels), -jnp.inf, jnp.float32)
+            for k, val in masked_vals:
+                agg = jnp.maximum(agg, jnp.where(k, val, -jnp.inf))
+            agg = jnp.where(jnp.isneginf(agg), 0.0, agg)
+        elif method.startswith("conf"):
+            agg = jnp.zeros((tile, channels), jnp.float32)
+            for u, (k, val) in enumerate(masked_vals):
+                c = conf_ref[0, u:u + 1].astype(jnp.float32)  # (1, C)
+                agg = agg + jnp.where(k, val * c, 0.0)
+        else:
+            raise ValueError(method)
+        o_ref[0] = agg
+
+
+def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
+                           view_mask: Optional[jnp.ndarray],
+                           vol_confidences: Optional[jnp.ndarray],
+                           method: str, grid_size: int, tile: int = 256,
+                           band_width: Optional[int] = 16,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused sample + cross-view aggregation: (B,V,H,W,C) -> (B, S^3, C)."""
+    b, v, h, wdt, c = features.shape
+    n = grid_size ** 3
+    tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
+    n_tiles = n // tile
+
+    use_bands = (band_width is not None and band_width < wdt
+                 and tile % grid_size == 0 and 128 % c == 0)
+    if use_bands:
+        c0s = _tile_column_bands(affine.reshape(b * v, 3, 4), grid_size,
+                                 tile, h, wdt, band_width,
+                                 c).reshape(b, v, n_tiles)
+        bw = band_width
+    else:
+        c0s = jnp.full((b, v, n_tiles), -1, jnp.int32)
+        bw = wdt  # chunked fallback == one full-width pass
+
+    mask = (jnp.ones((b, v), jnp.float32) if view_mask is None
+            else view_mask.astype(jnp.float32))
+    conf = (jnp.zeros((b, v, c), jnp.float32) if vol_confidences is None
+            else vol_confidences.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _unproject_agg_kernel, tile=tile, grid_size=grid_size, height=h,
+        width=wdt, channels=c, band_width=bw, n_views=v, method=method)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles, v),
+        in_specs=[
+            pl.BlockSpec((1, v, 3, 4), lambda bb, t, vv, sref: (bb, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            # All V feature maps of one batch resident at once (~2.3 MB for
+            # the flagship shapes): the view axis folds into rows.
+            pl.BlockSpec((1, v * h, wdt * c),
+                         lambda bb, t, vv, sref: (bb, 0, 0)),
+            # Whole (B, V) mask in SMEM: a (1, V) block would violate the
+            # last-two-dims blocking rule for multi-batch inputs.
+            pl.BlockSpec((b, v), lambda bb, t, vv, sref: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, v, c), lambda bb, t, vv, sref: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c),
+                               lambda bb, t, vv, sref: (bb, t, 0)),
+        scratch_shapes=[pltpu.VMEM((v, tile, c), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(c0s, affine, features.reshape(b, v * h, wdt * c), mask, conf)
 
 
 def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
@@ -280,6 +425,8 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                               tile: int = 256,
                               band_width: Optional[int] = 16,
                               channels_last: bool = False,
+                              fuse_aggregation: bool = False,
+                              aggregation_dtype=None,
                               interpret: bool = False) -> jnp.ndarray:
     """Fused-unprojection equivalent of ``volumetric.unproject_heatmaps``.
 
@@ -291,6 +438,12 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
       grid_size: S of the S^3 voxel grid.
       channels_last: if True, return (B, S, S, S, C) — the kernel's native
         voxel scan order, zero-copy into the NDHWC V2V net.
+      fuse_aggregation: run the cross-view aggregation inside the kernel —
+        the (B, V, N, C) sampled tensor never exists in HBM.  Inference
+        only (the fused path defines no VJP).
+      aggregation_dtype: optional dtype for the sampled tensor on the
+        UNFUSED path (e.g. bfloat16 during training: halves the softmax-
+        aggregation residual that dominates big-batch training memory).
 
     Returns:
       (B, C, S, S, S) aggregated volumes (or NDHWC with channels_last).
@@ -304,11 +457,23 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
     m = jnp.einsum("bvij,bjk->bvik", proj_matrices, affine4,
                    precision=jax.lax.Precision.HIGHEST)
 
+    n = grid_size ** 3
+    if fuse_aggregation:
+        volume = _sample_views_agg_impl(
+            features, m, view_mask, vol_confidences,
+            volume_aggregation_method, grid_size, tile, band_width,
+            interpret)
+        if channels_last:
+            return volume.reshape(b, grid_size, grid_size, grid_size, c)
+        return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
+                                             grid_size)
+
     sampled = sample_views_affine(
         features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
         grid_size, tile, band_width, interpret)
-    n = grid_size ** 3
     sampled = sampled.reshape(b, v, n, c)
+    if aggregation_dtype is not None:
+        sampled = sampled.astype(aggregation_dtype)
 
     mask = None
     if view_mask is not None:

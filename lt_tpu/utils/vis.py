@@ -115,6 +115,36 @@ def _project(proj_matrix: np.ndarray, points_3d: np.ndarray) -> np.ndarray:
     return uvw[:, :2] / uvw[:, 2:3]
 
 
+#: Vertex index pairs of the 12 edges of a unit cube (volumetric.py:8-59).
+_CUBE_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3),
+               (4, 5), (4, 6), (5, 7), (6, 7),
+               (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def cuboid_vertices(position: np.ndarray, sides: np.ndarray) -> np.ndarray:
+    """(8, 3) corner vertices of an axis-aligned cuboid.
+
+    ``position`` is the min corner, ``sides`` the edge lengths — the
+    reference's Cuboid3D convention (mvn/utils/volumetric.py:36-59).
+    """
+    position = np.asarray(position, np.float32)
+    sides = np.asarray(sides, np.float32)
+    corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                        for z in (0, 1)], np.float32)
+    return position[None] + corners * sides[None]
+
+
+def draw_cuboid_2d(position: np.ndarray, sides: np.ndarray,
+                   proj_matrix: np.ndarray, ax, color: str = "cyan"):
+    """Project a world-space cuboid's wireframe into a view and draw it
+    (the reference's cuboid render row, vis.py:84-179 +
+    volumetric.py:61-84)."""
+    verts2d = _project(proj_matrix, cuboid_vertices(position, sides))
+    for i, k in _CUBE_EDGES:
+        ax.plot([verts2d[i, 0], verts2d[k, 0]],
+                [verts2d[i, 1], verts2d[k, 1]], c=color, linewidth=1.0)
+
+
 def visualize_batch(images: np.ndarray, heatmaps: np.ndarray,
                     keypoints_2d: Optional[np.ndarray],
                     proj_matrices: np.ndarray,
@@ -122,12 +152,16 @@ def visualize_batch(images: np.ndarray, heatmaps: np.ndarray,
                     keypoints_3d_pred: np.ndarray,
                     kind: str = "human36m",
                     confidences: Optional[np.ndarray] = None,
+                    cuboids: Optional[tuple] = None,
                     batch_index: int = 0, size: int = 3,
                     max_n_cols: int = 10) -> np.ndarray:
     """Row-per-diagnostic grid for one sample (vis.py:84-179).
 
     Rows: input views / predicted 2D / GT 3D projected / pred 3D projected
     (+ confidence bars).  ``images`` are (B, V, H, W, 3) normalized.
+    ``cuboids`` is an optional ``(positions (B, 3), sides (3,))`` pair — the
+    volumetric model's inference cuboid, drawn as a wireframe over the
+    pred-3D row (the reference's cuboid render row).
     """
     images = np.asarray(images[batch_index])
     n_views = min(images.shape[0], max_n_cols)
@@ -154,6 +188,11 @@ def visualize_batch(images: np.ndarray, heatmaps: np.ndarray,
         draw_2d_pose(_project(proj_matrices[batch_index, v],
                               np.asarray(keypoints_3d_pred[batch_index])),
                      axes[3][v], kind)
+        if cuboids is not None:
+            positions, sides = cuboids
+            draw_cuboid_2d(np.asarray(positions[batch_index]),
+                           np.asarray(sides),
+                           proj_matrices[batch_index, v], axes[3][v])
         if confidences is not None:
             conf = np.asarray(confidences[batch_index, v])
             axes[4][v].bar(range(len(conf)), conf, color="green")

@@ -170,6 +170,166 @@ def test_integrate_ops_match_reference():
                                atol=1e-2, rtol=1e-4)
 
 
+def _image_space_cameras(n_views, image_size, rng):
+    """Synthetic ring cameras with intrinsics in image pixel space."""
+    from tests.conftest import make_synthetic_cameras
+
+    proj, R, t, K = make_synthetic_cameras(n_views, rng)
+    scale = np.array([[image_size / 96.0], [image_size / 96.0], [1.0]],
+                     np.float32)
+    return proj * scale, R, t, K * scale
+
+
+@pytest.mark.slow
+def test_algebraic_model_matches_reference():
+    """Full AlgebraicTriangulationNet forward vs triangulation.py:131-200
+    with identical random weights."""
+    import torch
+    from mvn.models.triangulation import AlgebraicTriangulationNet as RefAlg
+
+    from lt_tpu.models.triangulation import AlgebraicTriangulationNet
+    from lt_tpu.utils import torch_import
+    from lt_tpu.utils.cfg import AttrDict
+
+    torch.manual_seed(7)
+    num_joints, num_layers, b, v, img = 5, 18, 2, 3, 128
+    config = AttrDict({"model": {
+        "use_confidences": True, "heatmap_softmax": True,
+        "heatmap_multiplier": 100.0,
+        "backbone": {"name": "resnet18", "style": "simple",
+                     "init_weights": False, "checkpoint": "",
+                     "num_joints": num_joints, "num_layers": num_layers}}})
+    ref = RefAlg(config, device="cpu")
+    ref.eval()
+
+    rng = np.random.RandomState(11)
+    proj, *_ = _image_space_cameras(v, img, rng)
+    proj_b = np.broadcast_to(proj, (b, v, 3, 4)).astype(np.float32)
+    images = rng.randn(b, v, 3, img, img).astype(np.float32)
+
+    with torch.no_grad():
+        kp3d_t, kp2d_t, hm_t, conf_t = ref(
+            torch.tensor(images), torch.tensor(proj_b), {})
+
+    variables = torch_import.import_algebraic_model(
+        _state_dict_np(ref), num_layers, num_joints)
+    model = AlgebraicTriangulationNet(num_joints=num_joints,
+                                      num_layers=num_layers,
+                                      use_confidences=True)
+    out = model.apply(variables, jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+                      jnp.asarray(proj_b), train=False)
+
+    np.testing.assert_allclose(np.asarray(out.confidences), conf_t.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.keypoints_2d), kp2d_t.numpy(),
+                               atol=5e-2, rtol=1e-3)
+    # Random-weight heatmaps put every view's soft-argmax near the image
+    # center, so the triangulated point sits ~7 m out on near-parallel rays
+    # — an ill-conditioned DLT where fp32 backbone noise amplifies.  The
+    # chain wiring is still pinned tight by the 2D/confidence asserts above;
+    # exact DLT math has its own recovery tests (test_geometry.py).
+    np.testing.assert_allclose(np.asarray(out.keypoints_3d), kp3d_t.numpy(),
+                               atol=2.0, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_volumetric_model_matches_reference():
+    """Full VolumetricTriangulationNet forward vs triangulation.py:203-355
+    with identical random weights (eval mode: rotation theta = 0)."""
+    import torch
+    from mvn.models.triangulation import VolumetricTriangulationNet as RefVol
+    from mvn.utils.multiview import Camera as RefCamera
+
+    from lt_tpu.models.triangulation import VolumetricTriangulationNet
+    from lt_tpu.utils import torch_import
+    from lt_tpu.utils.cfg import AttrDict
+
+    torch.manual_seed(9)
+    # volume_size >= 32: the reference V2V encoder max-pools 5 times.
+    num_joints, num_layers, b, v, img, vol = 7, 18, 1, 2, 128, 32
+    config = AttrDict({"model": {
+        "volume_aggregation_method": "softmax", "volume_softmax": True,
+        "volume_multiplier": 1.0, "volume_size": vol,
+        "cuboid_side": 2000.0, "kind": "mpii", "use_gt_pelvis": True,
+        "heatmap_softmax": True, "heatmap_multiplier": 100.0,
+        "backbone": {"name": "resnet18", "style": "simple",
+                     "init_weights": False, "checkpoint": "",
+                     "num_joints": num_joints, "num_layers": num_layers}}})
+    ref = RefVol(config, device="cpu")
+    ref.eval()
+
+    rng = np.random.RandomState(13)
+    proj, R, t, K = _image_space_cameras(v, img, rng)
+    images = rng.randn(b, v, 3, img, img).astype(np.float32)
+    keypoints = rng.uniform(-300, 300, (b, num_joints, 4)).astype(np.float32)
+
+    cameras = [[RefCamera(R[vi], t[vi], K[vi], None, str(vi))
+                for _ in range(b)] for vi in range(v)]
+    batch = {"cameras": cameras, "keypoints_3d": keypoints}
+
+    with torch.no_grad():
+        kp3d_t, _, volumes_t, _, _, coords_t, base_t = ref(
+            torch.tensor(images), torch.tensor(np.broadcast_to(
+                proj, (b, v, 3, 4)).astype(np.float32)), batch)
+
+    variables = torch_import.import_volumetric_model(
+        _state_dict_np(ref), num_layers, num_joints)
+    model = VolumetricTriangulationNet(
+        num_joints=num_joints, num_layers=num_layers, volume_size=vol,
+        cuboid_side=2000.0, volume_aggregation_method="softmax", kind="mpii")
+    out = model.apply(
+        variables, jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(np.broadcast_to(proj, (b, v, 3, 4)).astype(np.float32)),
+        jnp.asarray(keypoints), train=False,
+        rotation_thetas=jnp.zeros((b,), jnp.float32))
+
+    np.testing.assert_allclose(np.asarray(out.base_points), base_t.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.coord_volumes),
+                               coords_t.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.volumes), volumes_t.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    # World-mm 3D points within 0.1 mm (the BASELINE.md MPJPE budget).
+    np.testing.assert_allclose(np.asarray(out.keypoints_3d), kp3d_t.numpy(),
+                               atol=0.1, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_pose_resnet152_matches_reference():
+    """ResNet-152 import + forward parity: exercises the 36-block scanned
+    layer3 import path (pose_resnet.py:177-181 spec)."""
+    import torch
+    from mvn.models import pose_resnet as ref_pr
+
+    from lt_tpu.models.backbone import PoseResNet
+    from lt_tpu.utils import torch_import
+
+    torch.manual_seed(2)
+    block, layers = ref_pr.resnet_spec[152]
+    num_joints = 3
+    ref = ref_pr.PoseResNet(block, layers, num_joints,
+                            alg_confidences=False, vol_confidences=True)
+    ref.eval()
+
+    x = torch.randn(1, 3, 128, 128)  # GAP heads need >= 4x4 at layer4
+    with torch.no_grad():
+        hm_t, feat_t, _, vol_t = ref(x)
+
+    variables = torch_import.import_pose_resnet(
+        _state_dict_np(ref), num_layers=152, num_joints=num_joints)
+    model = PoseResNet(num_joints=num_joints, num_layers=152,
+                       alg_confidences=False, vol_confidences=True)
+    hm, feat, _, volc = model.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(np.asarray(hm).transpose(0, 3, 1, 2),
+                               hm_t.numpy(), atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2),
+                               feat_t.numpy(), atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(volc), vol_t.numpy(),
+                               atol=5e-3, rtol=1e-3)
+
+
 def test_unproject_matches_reference_grid_sample(rng):
     """Golden test of the unprojection against the reference op.py:99-166."""
     import torch

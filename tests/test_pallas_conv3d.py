@@ -23,6 +23,40 @@ def test_conv3d_matches_xla():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_conv3d_residual_fusion_matches_xla():
+    """Fused skip-add + relu (the Res3DBlock tail) == unfused XLA chain."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 8, 8).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    skip = jnp.asarray(rng.randn(1, 8, 8, 8, 8).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias + skip
+    ref = jnp.maximum(ref, 0)
+
+    got = conv3d_same(x, w, bias, relu=True, residual=skip, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3d_bf16_and_rect():
+    """bf16 compute + non-cubic volume (Y != Z exercises both shift kinds)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 16, 8, 4), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(3, 3, 3, 4, 8) * 0.1, jnp.bfloat16)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)
+
+    got = conv3d_same(x, w, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-2, rtol=1e-2)
+
+
 def test_fold_bn_exact():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 8, 8, 8, 4).astype(np.float32))

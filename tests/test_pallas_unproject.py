@@ -97,6 +97,29 @@ def test_kernel_conf_aggregation(setup):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("method", ["softmax", "sum", "max", "conf"])
+def test_fused_aggregation_matches_unfused(setup, method):
+    """The in-kernel view aggregation == the XLA aggregation, incl. a
+    masked view (op.py:149-164 semantics)."""
+    feats, proj, base, thetas, s = setup
+    b, v = feats.shape[:2]
+    c = feats.shape[-1]
+    conf = (jnp.asarray(np.random.RandomState(0).rand(b, v, c)
+                        .astype(np.float32)) if method == "conf" else None)
+    mask = jnp.asarray([[1, 1, 0], [1, 1, 1]], jnp.float32)
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+
+    ref = vol_ops.unproject_heatmaps(feats, proj, coords, method,
+                                     vol_confidences=conf, view_mask=mask)
+    got = pu.unproject_heatmaps_affine(feats, proj, affine, s, method,
+                                       vol_confidences=conf, view_mask=mask,
+                                       tile=64, fuse_aggregation=True,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_kernel_gradient_matches_xla(setup):
     """custom_vjp (transposed row-mix) vs autodiff through the XLA path."""
     import jax

@@ -19,10 +19,12 @@ def test_visualize_batch_and_heatmaps():
     kp2d = np.random.RandomState(1).rand(2, 3, 17, 2) * 64
     kp3d = batch["keypoints_3d"][:, :, :3]
 
+    sides = np.array([500.0, 500.0, 500.0], np.float32)
     img = vis.visualize_batch(batch["images"], heatmaps, kp2d,
                               batch["proj_matrices"], kp3d, kp3d + 20.0,
                               kind="human36m",
-                              confidences=np.random.rand(2, 3, 17))
+                              confidences=np.random.rand(2, 3, 17),
+                              cuboids=(kp3d[:, 6] - sides / 2, sides))
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
     assert img.shape[0] > 100 and img.shape[1] > 100
 
