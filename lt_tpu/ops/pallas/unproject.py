@@ -155,42 +155,56 @@ def _tile_sample(read_band, m, t, *, tile: int, grid_size: int, height: int,
 
 def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
                       height: int, width: int, channels: int,
-                      band_width=None, c0_ref=None):
-    """One (bv, voxel-tile) grid step."""
+                      band_width=None, c0_ref=None, subtiles: int = 1):
+    """One (bv, voxel-super-tile) grid step of ``subtiles`` banded tiles.
+
+    Sub-tiling amortizes the fixed per-grid-step cost (block bookkeeping +
+    pipeline bubbles, ~1 us/step measured on v5e) over several voxel tiles
+    while keeping the per-tile column bands tight.
+    """
     t = pl.program_id(1)
-    c0 = None if c0_ref is None else c0_ref[pl.program_id(0), t]
-    o_ref[0] = _tile_sample(
-        lambda start, n_lanes: f_ref[0, :, pl.ds(start, n_lanes)],
-        lambda i, j: m_ref[0, i, j], t,
-        tile=tile, grid_size=grid_size, height=height, width=width,
-        channels=channels, f32_mode=f_ref.dtype == jnp.float32,
-        band_width=band_width, c0=c0)
+    for s in range(subtiles):
+        tt = t * subtiles + s
+        c0 = None if c0_ref is None else c0_ref[pl.program_id(0), tt]
+        o_ref[0, pl.ds(s * tile, tile)] = _tile_sample(
+            lambda start, n_lanes: f_ref[0, :, pl.ds(start, n_lanes)],
+            lambda i, j: m_ref[0, i, j], tt,
+            tile=tile, grid_size=grid_size, height=height, width=width,
+            channels=channels, f32_mode=f_ref.dtype == jnp.float32,
+            band_width=band_width, c0=c0)
 
 
 def _unproject_agg_kernel(c0_sref, m_ref, f_ref, mask_ref, conf_ref, o_ref,
                           s_scratch, *, tile: int, grid_size: int,
                           height: int, width: int, channels: int,
-                          band_width: int, n_views: int, method: str):
-    """One (batch, voxel-tile, view) grid step with in-VMEM aggregation.
+                          band_width: int, n_views: int, method: str,
+                          subtiles: int = 1):
+    """One (batch, voxel-super-tile, view) grid step, in-VMEM aggregation.
 
-    Views iterate fastest; each step samples one view's tile into scratch
-    and the last view aggregates (softmax / conf / sum / max across the
-    view axis, reference op.py:149-164) and writes the output tile — the
-    (B, V, N, C) sampled tensor never exists in HBM.
+    Views iterate fastest; each step samples one view's ``subtiles`` banded
+    voxel tiles into scratch and the last view aggregates (softmax / conf /
+    sum / max across the view axis, reference op.py:149-164) and writes the
+    output super-tile — the (B, V, N, C) sampled tensor never exists in HBM.
+
+    Everything runs in the transposed (C, voxels) orientation (see
+    ``_tile_sample_t``); the output is (B, C, N).
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
     v = pl.program_id(2)
+    wc = width * channels
 
-    c0 = c0_sref[b, v, t]
-    out = _tile_sample(
-        lambda start, n_lanes: f_ref[0, pl.ds(v * height, height),
-                                     pl.ds(start, n_lanes)],
-        lambda i, j: m_ref[0, v, i, j], t,
-        tile=tile, grid_size=grid_size, height=height, width=width,
-        channels=channels, f32_mode=f_ref.dtype == jnp.float32,
-        band_width=band_width, c0=c0)
-    s_scratch[pl.ds(v, 1)] = out[None]
+    for s in range(subtiles):
+        tt = t * subtiles + s
+        c0 = c0_sref[b, v, tt]
+        out = _tile_sample_t(
+            lambda start, n_rows: f_ref[0, pl.ds(v * wc + start, n_rows), :],
+            lambda i, j: m_ref[0, v, i, j], tt,
+            tile=tile, grid_size=grid_size, height=height, width=width,
+            channels=channels, f32_mode=f_ref.dtype == jnp.float32,
+            band_width=band_width, c0=c0)
+        s_scratch[pl.ds(v, 1), :, pl.ds(s * tile, tile)] = out[None]
+    tile = tile * subtiles  # aggregation below covers the super-tile
 
     @pl.when(v == n_views - 1)
     def _():
@@ -205,30 +219,144 @@ def _unproject_agg_kernel(c0_sref, m_ref, f_ref, mask_ref, conf_ref, o_ref,
             m0 = logits[0]
             for lg in logits[1:]:
                 m0 = jnp.maximum(m0, lg)
-            num = jnp.zeros((tile, channels), jnp.float32)
-            den = jnp.zeros((tile, channels), jnp.float32)
+            num = jnp.zeros((channels, tile), jnp.float32)
+            den = jnp.zeros((channels, tile), jnp.float32)
             for (k, val), lg in zip(masked_vals, logits):
                 e = jnp.exp(lg - m0)
                 den = den + e
                 num = num + e * jnp.where(k, val, 0.0)
             agg = num / den
         elif method == "sum":
-            agg = jnp.zeros((tile, channels), jnp.float32)
+            agg = jnp.zeros((channels, tile), jnp.float32)
             for k, val in masked_vals:
                 agg = agg + jnp.where(k, val, 0.0)
         elif method == "max":
-            agg = jnp.full((tile, channels), -jnp.inf, jnp.float32)
+            agg = jnp.full((channels, tile), -jnp.inf, jnp.float32)
             for k, val in masked_vals:
                 agg = jnp.maximum(agg, jnp.where(k, val, -jnp.inf))
             agg = jnp.where(jnp.isneginf(agg), 0.0, agg)
         elif method.startswith("conf"):
-            agg = jnp.zeros((tile, channels), jnp.float32)
+            agg = jnp.zeros((channels, tile), jnp.float32)
             for u, (k, val) in enumerate(masked_vals):
-                c = conf_ref[0, u:u + 1].astype(jnp.float32)  # (1, C)
+                c = conf_ref[0, :, u:u + 1].astype(jnp.float32)  # (C, 1)
                 agg = agg + jnp.where(k, val * c, 0.0)
         else:
             raise ValueError(method)
         o_ref[0] = agg
+
+
+def _pick_subtiles(n_tiles: int, target: int = 8) -> int:
+    """Largest divisor of ``n_tiles`` that is <= target."""
+    s = min(target, n_tiles)
+    while n_tiles % s:
+        s -= 1
+    return s
+
+
+def _tile_sample_t(read_band, m, t, *, tile: int, grid_size: int,
+                   height: int, width: int, channels: int, f32_mode: bool,
+                   band_width=None, c0=None):
+    """Transposed-orientation bilinear sampling of voxel tile ``t``.
+
+    Identical math to ``_tile_sample`` but with voxels living in the LANE
+    dimension throughout: per-voxel scalars are (1, TILE) rows (full 128-lane
+    VPU utilization — the (TILE, 1) sublane-major chain measured 27 ms of the
+    50 ms flagship kernel alone), the one-hot row/column mixes are built
+    transposed, and the feature band arrives pre-transposed as
+    (band_w*C, H) sublane-major (a cheap XLA-side relayout of the feature
+    maps).  Output is (C, TILE).
+
+    Args:
+      read_band: callable (row_start, n_rows) -> (n_rows, H) slice of the
+        view's transposed feature map F^T (W*C, H); row_start only needs
+        sublane-tile alignment, so column bands need no 128-lane alignment.
+      m: callable (i, j) -> scalar of the 3x4 affine matrix.
+
+    Returns:
+      (C, TILE) float32 samples, zeroed where depth <= 0.
+    """
+    n = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    gz = (n % grid_size).astype(jnp.float32)
+    gy = ((n // grid_size) % grid_size).astype(jnp.float32)
+    gx = (n // (grid_size * grid_size)).astype(jnp.float32)
+
+    def row(i):
+        return m(i, 0) * gx + m(i, 1) * gy + m(i, 2) * gz + m(i, 3)
+
+    u, v, w = row(0), row(1), row(2)
+
+    invalid = w <= 0.0                      # op.py:121
+    w_safe = jnp.where(w == 0.0, 1.0, w)    # op.py:123
+    x = jnp.where(invalid, 0.0, u / w_safe) * ((width - 1) / width)
+    y = jnp.where(invalid, 0.0, v / w_safe) * ((height - 1) / height)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(lhs, rhs, dims,
+                                   preferred_element_type=jnp.float32)
+
+    def dot_split(lhs32, rhs32):
+        lhs_hi = lhs32.astype(jnp.bfloat16)
+        lhs_lo = (lhs32 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rhs_hi = rhs32.astype(jnp.bfloat16)
+        rhs_lo = (rhs32 - rhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (dot(lhs_hi, rhs_hi) + dot(lhs_hi, rhs_lo)
+                + dot(lhs_lo, rhs_hi))
+
+    def sample_band(col0, band_w):
+        bwc = band_w * channels
+        f_t = read_band(col0 * channels, bwc)            # (band_w*C, H)
+
+        # Transposed row one-hot A^T (H, TILE): taps y0, y0+1.
+        hh = jax.lax.broadcasted_iota(jnp.int32, (height, tile), 0)
+        a_t = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
+               + jnp.where(hh == y0i + 1, wy, 0.0))
+        # m2^T (band_w*C, TILE) = F^T @ A^T.
+        m2 = (dot_split(f_t, a_t) if f32_mode
+              else dot(f_t, a_t.astype(f_t.dtype)))
+
+        # Transposed column weights: row r of the band covers absolute
+        # image column col0 + r // C.
+        ww = (jax.lax.broadcasted_iota(jnp.int32, (bwc, tile), 0)
+              // channels + col0)
+        bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+                + jnp.where(ww == x0i + 1, wx, 0.0))
+        p = m2 * bexp                                    # (bwc, TILE) f32
+
+        # Transposed channel-collapse S^T (C, band_w*C).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (channels, bwc), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (channels, bwc), 1)
+        s = (cols % channels == rows).astype(jnp.bfloat16)
+        if f32_mode:
+            p_hi = p.astype(jnp.bfloat16)
+            p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return dot(s, p_hi) + dot(s, p_lo)           # (C, TILE)
+        return dot(s, p.astype(jnp.bfloat16))
+
+    if c0 is not None:
+        def banded():
+            return sample_band(c0, band_width)
+
+        def chunked():
+            acc = jnp.zeros((channels, tile), jnp.float32)
+            for cc0 in range(0, width, band_width):
+                acc = acc + sample_band(cc0,
+                                        min(band_width, width - cc0))
+            return acc
+
+        out = jax.lax.cond(c0 >= 0, banded, chunked)
+    else:
+        out = sample_band(0, width)
+
+    return jnp.where(invalid, 0.0, out)
 
 
 def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
@@ -237,19 +365,27 @@ def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
                            method: str, grid_size: int, tile: int = 256,
                            band_width: Optional[int] = 16,
                            interpret: bool = False) -> jnp.ndarray:
-    """Fused sample + cross-view aggregation: (B,V,H,W,C) -> (B, S^3, C)."""
+    """Fused sample + cross-view aggregation: (B,V,H,W,C) -> (B, C, S^3).
+
+    Transposed orientation throughout (voxels in lanes); the feature maps
+    are relayouted once by XLA to F^T (B, V*W*C, H) — sublane-major bands
+    need no 128-lane alignment, and per-voxel math runs at full VPU width.
+    """
     b, v, h, wdt, c = features.shape
     n = grid_size ** 3
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
     n_tiles = n // tile
+    subtiles = _pick_subtiles(n_tiles)
 
+    # Sublane-tile alignment for the transposed band slice start (c0 * C).
+    sub_align = 16 if features.dtype == jnp.bfloat16 else 8
     use_bands = (band_width is not None and band_width < wdt
-                 and tile % grid_size == 0 and 128 % c == 0)
+                 and tile % grid_size == 0 and (c % sub_align == 0))
     if use_bands:
         c0s = _tile_column_bands(affine.reshape(b * v, 3, 4), grid_size,
-                                 tile, h, wdt, band_width,
-                                 c).reshape(b, v, n_tiles)
+                                 tile, h, wdt, band_width, c,
+                                 align=1).reshape(b, v, n_tiles)
         bw = band_width
     else:
         c0s = jnp.full((b, v, n_tiles), -1, jnp.int32)
@@ -257,41 +393,47 @@ def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
 
     mask = (jnp.ones((b, v), jnp.float32) if view_mask is None
             else view_mask.astype(jnp.float32))
-    conf = (jnp.zeros((b, v, c), jnp.float32) if vol_confidences is None
-            else vol_confidences.astype(jnp.float32))
+    conf = (jnp.zeros((b, c, v), jnp.float32) if vol_confidences is None
+            else vol_confidences.astype(jnp.float32).swapaxes(1, 2))
 
     kernel = functools.partial(
         _unproject_agg_kernel, tile=tile, grid_size=grid_size, height=h,
-        width=wdt, channels=c, band_width=bw, n_views=v, method=method)
+        width=wdt, channels=c, band_width=bw, n_views=v, method=method,
+        subtiles=subtiles)
+
+    # F^T: (B, V, H, W, C) -> (B, V*W*C, H); one XLA relayout (~0.15 ms for
+    # the flagship shapes), amortized across all voxel tiles.
+    feats_t = jnp.transpose(features, (0, 1, 3, 4, 2)).reshape(
+        b, v * wdt * c, h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_tiles, v),
+        grid=(b, n_tiles // subtiles, v),
         in_specs=[
             pl.BlockSpec((1, v, 3, 4), lambda bb, t, vv, sref: (bb, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            # All V feature maps of one batch resident at once (~2.3 MB for
-            # the flagship shapes): the view axis folds into rows.
-            pl.BlockSpec((1, v * h, wdt * c),
+            # All V transposed feature maps of one batch resident at once
+            # (~2.3 MB for the flagship shapes).
+            pl.BlockSpec((1, v * wdt * c, h),
                          lambda bb, t, vv, sref: (bb, 0, 0)),
             # Whole (B, V) mask in SMEM: a (1, V) block would violate the
             # last-two-dims blocking rule for multi-batch inputs.
             pl.BlockSpec((b, v), lambda bb, t, vv, sref: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, v, c), lambda bb, t, vv, sref: (bb, 0, 0)),
+            pl.BlockSpec((1, c, v), lambda bb, t, vv, sref: (bb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, c),
-                               lambda bb, t, vv, sref: (bb, t, 0)),
-        scratch_shapes=[pltpu.VMEM((v, tile, c), jnp.float32)],
+        out_specs=pl.BlockSpec((1, c, tile * subtiles),
+                               lambda bb, t, vv, sref: (bb, 0, t)),
+        scratch_shapes=[pltpu.VMEM((v, c, tile * subtiles), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(c0s, affine, features.reshape(b, v * h, wdt * c), mask, conf)
+    )(c0s, affine, feats_t, mask, conf)
 
 
 def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
@@ -325,22 +467,25 @@ def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
     assert n % tile == 0, (n, tile)
     feats = features.reshape(bv, h, wdt * c)
     n_tiles = n // tile
+    subtiles = _pick_subtiles(n_tiles)
 
     use_bands = (band_width is not None and band_width < wdt
                  and tile % grid_size == 0 and 128 % c == 0)
     if not use_bands:
         kernel = functools.partial(_unproject_kernel, tile=tile,
                                    grid_size=grid_size, height=h, width=wdt,
-                                   channels=c, band_width=None)
+                                   channels=c, band_width=None,
+                                   subtiles=subtiles)
         return pl.pallas_call(
             kernel,
-            grid=(bv, n_tiles),
+            grid=(bv, n_tiles // subtiles),
             in_specs=[
                 pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, h, wdt * c), lambda b, t: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0)),
+            out_specs=pl.BlockSpec((1, tile * subtiles, c),
+                                   lambda b, t: (b, t, 0)),
             out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
             interpret=interpret,
         )(affine, feats)
@@ -350,17 +495,19 @@ def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
     def kernel(c0_sref, m_ref, f_ref, o_ref):
         _unproject_kernel(m_ref, f_ref, o_ref, tile=tile,
                           grid_size=grid_size, height=h, width=wdt,
-                          channels=c, band_width=band_width, c0_ref=c0_sref)
+                          channels=c, band_width=band_width, c0_ref=c0_sref,
+                          subtiles=subtiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bv, n_tiles),
+        grid=(bv, n_tiles // subtiles),
         in_specs=[
             pl.BlockSpec((1, 3, 4), lambda b, t, sref: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, wdt * c), lambda b, t, sref: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda b, t, sref: (b, t, 0)),
+        out_specs=pl.BlockSpec((1, tile * subtiles, c),
+                               lambda b, t, sref: (b, t, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -372,7 +519,8 @@ def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
 
 def _tile_column_bands(affine: jnp.ndarray, grid_size: int, tile: int,
                        height: int, width: int, band_width: int,
-                       channels: int) -> jnp.ndarray:
+                       channels: int, align: Optional[int] = None
+                       ) -> jnp.ndarray:
     """Per-(bv, tile) aligned column-band starts, or -1 for full fallback.
 
     A tile covers ``tile // grid_size`` full gz-columns, i.e. an axis-aligned
@@ -410,7 +558,8 @@ def _tile_column_bands(affine: jnp.ndarray, grid_size: int, tile: int,
     x0min = jnp.clip(jnp.floor(jnp.min(x, axis=-1)), 0, width - 1)
     x1max = jnp.clip(jnp.floor(jnp.max(x, axis=-1)) + 1, 0, width - 1)
 
-    align = max(1, 128 // channels)
+    if align is None:
+        align = max(1, 128 // channels)
     c0 = (x0min.astype(jnp.int32) // align) * align
     c0 = jnp.clip(c0, 0, width - band_width)
     fits = pos & (x1max.astype(jnp.int32) < c0 + band_width)
@@ -459,14 +608,15 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
 
     n = grid_size ** 3
     if fuse_aggregation:
+        # Fused kernel emits (B, C, N) (transposed orientation).
         volume = _sample_views_agg_impl(
             features, m, view_mask, vol_confidences,
             volume_aggregation_method, grid_size, tile, band_width,
             interpret)
         if channels_last:
-            return volume.reshape(b, grid_size, grid_size, grid_size, c)
-        return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
-                                             grid_size)
+            return volume.swapaxes(1, 2).reshape(
+                b, grid_size, grid_size, grid_size, c)
+        return volume.reshape(b, c, grid_size, grid_size, grid_size)
 
     sampled = sample_views_affine(
         features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
