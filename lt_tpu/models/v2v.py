@@ -25,7 +25,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lt_tpu.models.backbone import BatchNorm
+from lt_tpu.models.backbone import BN_EPS, BatchNorm
+
+
+def _use_pallas_res3d(train: bool, size_x: int) -> bool:
+    """Gate for the fused whole-Res3DBlock inference kernel (ops/pallas/
+    res3d.py): ON by default on TPU inference — it halves the dominant
+    32ch@64^3 blocks (16.5 -> 8.4 ms standalone, 6.8 ms chained, measured
+    benchmarks/bench_res3d.py) and chains custom-call-to-custom-call.
+    Kill switch: LT_TPU_DISABLE_PALLAS_RES3D=1.
+    """
+    import os
+
+    return (not train and size_x % 2 == 0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("LT_TPU_DISABLE_PALLAS_RES3D"))
 
 
 def _use_pallas_conv3d(kernel: int, features: int, train: bool) -> bool:
@@ -194,7 +208,9 @@ class Res3DBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, tail=()):
+        """``tail``: optional ((w, b, relu), ...) per-voxel matmuls fused
+        after the block on the Pallas inference path (V2V back section)."""
         conv1 = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
                         name="conv1")
         bn1 = BatchNorm(name="bn1")
@@ -209,6 +225,42 @@ class Res3DBlock(nn.Module):
                         name="skip_conv")(x)
             return BatchNorm(name="skip_bn")(s, train)
 
+        if _use_pallas_res3d(train, x.shape[1]):
+            # Whole block = ONE fused kernel: conv+BN+ReLU, conv+BN,
+            # (projected) skip add, ReLU (v2v.py:20-42 semantics).
+            from lt_tpu.ops.pallas.conv3d import fold_bn
+            from lt_tpu.ops.pallas.res3d import res3d_block_fused
+
+            cin = x.shape[-1]
+            # Dummy one-voxel calls declare the child params (identical
+            # parameter tree to the unfused path); DCE removes them.
+            dummy = jnp.zeros((1, 1, 1, 1, cin), jnp.float32)
+            conv1(dummy, False)
+            dummy2 = jnp.zeros((1, 1, 1, 1, self.features), jnp.float32)
+            conv2(dummy2, False)
+            w1, b1 = fold_bn(conv1.variables["params"]["kernel"],
+                             conv1.variables["params"].get("bias"),
+                             *_bn_constants(bn1, self.features), eps=BN_EPS)
+            w2, b2 = fold_bn(conv2.variables["params"]["kernel"],
+                             conv2.variables["params"].get("bias"),
+                             *_bn_constants(bn2, self.features), eps=BN_EPS)
+            skip_proj = None
+            if cin != self.features:
+                sconv = _conv3d(self.features, 1, 0,
+                                dtype=self.compute_dtype, name="skip_conv")
+                sbn = BatchNorm(name="skip_bn")
+                sconv(dummy, False)
+                ws, bs = fold_bn(sconv.variables["params"]["kernel"],
+                                 sconv.variables["params"].get("bias"),
+                                 *_bn_constants(sbn, self.features),
+                                 eps=BN_EPS)
+                skip_proj = (ws.reshape(cin, self.features), bs)
+            return res3d_block_fused(
+                x.astype(self.compute_dtype), w1, b1, w2, b2,
+                skip_proj=skip_proj, tail=tail,
+                out_dtype=self.compute_dtype)
+
+        assert not tail, "tail fusion requires the Pallas res3d path"
         if _use_pallas_conv3d(3, self.features, train):
             # Whole block = two fused kernel calls: conv+BN+relu, then
             # conv+BN+skip-add+relu (v2v.py:20-42 semantics).
@@ -337,10 +389,45 @@ class V2VModel(nn.Module):
 
         x = encdec(dt, name="encoder_decoder")(x, train)
 
-        x = res(32, dt, name="back_res")(x, train)
-        x = basic(32, 1, dt, name="back_basic1")(x, train)
-        x = basic(32, 1, dt, name="back_basic2")(x, train)
+        fused_back = _use_pallas_res3d(train, x.shape[1])
+        # Unwrapped class on the fused inference path: remat is a training
+        # concern, and the static relu flags in ``tail`` must not traverse
+        # nn.remat (which would trace them).
+        back_res = (Res3DBlock if fused_back else res)(
+            32, dt, name="back_res")
+        back1 = basic(32, 1, dt, name="back_basic1")
+        back2 = basic(32, 1, dt, name="back_basic2")
+        out_conv = _conv3d(self.output_channels, 1, 0, dtype=dt,
+                           name="output_layer")
 
-        x = _conv3d(self.output_channels, 1, 0, dtype=dt,
-                    name="output_layer")(x)
+        if fused_back:
+            # Back section fused into back_res's kernel tail: two k=1
+            # Basic3D blocks (conv+BN+ReLU as one matmul each after BN
+            # folding) + the 1x1x1 output conv — four HBM round trips and
+            # their pallas<->XLA layout conversions become zero.
+            from lt_tpu.ops.pallas.conv3d import fold_bn
+
+            dummy = jnp.zeros((1, 1, 1, 1, 32), jnp.float32)
+            tail = []
+            for blk in (back1, back2):
+                blk(dummy, False)
+                p = blk.variables["params"]
+                s = blk.variables["batch_stats"]
+                wk, bk = fold_bn(p["conv"]["kernel"],
+                                 p["conv"].get("bias"),
+                                 p["bn"]["BatchNorm_0"]["scale"],
+                                 p["bn"]["BatchNorm_0"]["bias"],
+                                 s["bn"]["BatchNorm_0"]["mean"],
+                                 s["bn"]["BatchNorm_0"]["var"], eps=BN_EPS)
+                tail.append((wk.reshape(32, 32), bk, True))
+            out_conv(dummy, False)
+            po = out_conv.variables["params"]
+            tail.append((po["kernel"].reshape(32, self.output_channels),
+                         po["bias"], False))
+            x = back_res(x, train, tuple(tail))
+        else:
+            x = back_res(x, train)
+            x = back1(x, train)
+            x = back2(x, train)
+            x = out_conv(x)
         return x.astype(jnp.float32)

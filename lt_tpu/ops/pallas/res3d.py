@@ -1,0 +1,293 @@
+"""Fused Pallas TPU kernel: one whole V2V Res3DBlock per pass.
+
+Functional parity target: ``Res3DBlock`` of /root/reference/mvn/models/
+v2v.py:20-42 (two 3x3x3 convs + BN + ReLU with identity skip), plus an
+optional fused tail of 1x1x1 convs (``Basic3DBlock`` k=1, v2v.py:7-17, and
+the V2V output conv) applied at the finalize step.
+
+Why one kernel per block
+------------------------
+The five 32-channel Res3D blocks at 64^3 are ~60% of V2V's inference time
+(benchmarks/profile_v2v_blocks.py: 16.5 ms each under XLA at batch 8).
+XLA's conv3d fills only 32 of the MXU's 128 output lanes, and round 1
+showed per-conv Pallas calls lose their standalone win to layout
+conversions at every pallas<->XLA boundary.  This kernel:
+
+- processes TWO input x-planes per grid step ("s=2 multi-plane"): the
+  matmul becomes (M, 18*Cin) @ (18*Cin, 4*Cout) — 576x128 for 32
+  channels — a far better MXU shape than the per-plane
+  (M, 288) @ (288, 96) decomposition (measured shape table in ROADMAP.md),
+  at 75% useful density;
+- chains BOTH convs of the block inside the kernel with a two-plane lag,
+  so the intermediate activation never touches HBM and there are no
+  XLA boundaries between the convs;
+- folds inference BatchNorm into the weights, applies ReLUs and the
+  identity skip at finalize, and optionally runs a tail of per-voxel
+  (1x1x1 conv + bias [+ ReLU]) matmuls on the finalized planes.
+
+Rolling schedule (X = depth, steps j = 0 .. X/2+1):
+
+  step j reads input planes (2j-1, 2j)          [zeroed outside 0..X-1]
+  conv1 finalizes y1 planes (2j-2, 2j-1) = prevQ1[,2C:4C] + curQ1[,0:2C]
+  conv2 consumes y1 pair (2j-3, 2j-2), finalizes y2 planes (2j-4, 2j-3)
+  output block j-2 <- tail(relu(y2 + b2 + skip))        [written j >= 2]
+
+Inference-only by design; training keeps the XLA conv path (autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_shift_up(x: jnp.ndarray, delta: int) -> jnp.ndarray:
+    """out[r] = x[r + delta], zero-filled; delta multiple of 8 is vreg-free."""
+    if delta == 0:
+        return x
+    zeros = jnp.zeros((abs(delta),) + x.shape[1:], x.dtype)
+    if delta > 0:
+        return jnp.concatenate([x[delta:], zeros], axis=0)
+    return jnp.concatenate([zeros, x[:delta]], axis=0)
+
+
+def pack_weights_s2(weights: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, 3, Cin, Cout) -> (18*Cin, 4*Cout) for the s=2 plane-pair matmul.
+
+    Row (pi, dz, dy, ci), column (ob, co): the weight tap with
+    dx = pi - ob + 1 (kx = dx + 1), zero when |dx| > 1.  pi indexes the
+    step's two input planes (2j-1, 2j); ob indexes its four output-plane
+    contributions (2j-2 .. 2j+1).
+    """
+    k, _, _, cin, cout = weights.shape
+    assert k == 3, k
+    w2 = jnp.zeros((2, 3, 3, cin, 4, cout), weights.dtype)
+    for pi in range(2):
+        for ob in range(4):
+            kx = pi - ob + 2
+            if 0 <= kx <= 2:
+                # rows (dz, dy, ci) <- W[kx, ky=dy, kz=dz]
+                w2 = w2.at[pi, :, :, :, ob, :].set(
+                    jnp.transpose(weights[kx], (1, 0, 2, 3)))
+    return w2.reshape(18 * cin, 4 * cout)
+
+
+def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int):
+    """The 18 masked (dy, dz) taps of a plane pair, concatenated on lanes.
+
+    Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z); shifts
+    that wrap across batch/y boundaries are exactly where the masks zero.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    z_of_r = r % size_z
+    y_of_r = (r // size_z) % size_y
+    taps = []
+    for plane in (p0, p1):
+        for dz in (-1, 0, 1):
+            base = _row_shift_up(plane, dz)
+            z_ok = (z_of_r + dz >= 0) & (z_of_r + dz < size_z)
+            for dy in (-1, 0, 1):
+                t = _row_shift_up(base, dy * size_z)      # vreg-aligned
+                valid = z_ok & (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
+                taps.append(jnp.where(valid, t, jnp.zeros_like(t)))
+    return jnp.concatenate(taps, axis=-1)                 # (rows, 18*C)
+
+
+def _res3d_kernel(x_a, x_b, x_skip, w1_ref, w2_ref, b1_ref, b2_ref,
+                  *rest, batch: int, size_x: int, yz: int, size_y: int,
+                  size_z: int, cin: int, c: int,
+                  tail_relu: Tuple[bool, ...], out_c: int,
+                  skip_proj: bool):
+    """One s=2 grid step of the fused Res3D block (see module docstring)."""
+    n_tail = len(tail_relu)
+    rest = list(rest)
+    if skip_proj:
+        ws_ref, bs_ref = rest[:2]
+        rest = rest[2:]
+    tail_refs = rest[:2 * n_tail]
+    o_ref, q1k, q2k, r1p = rest[2 * n_tail:]
+    j = pl.program_id(1)
+    rows = batch * yz
+    half = size_x // 2
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # ---- conv1 on input planes (2j-1, 2j) ----
+    p0 = x_a[:, 0].reshape(rows, cin)
+    p1 = x_b[:, 0].reshape(rows, cin)
+    p0 = jnp.where(jnp.logical_or(j == 0, j == half + 1),
+                   jnp.zeros_like(p0), p0)          # plane 2j-1 out of range
+    p1 = jnp.where(j >= half, jnp.zeros_like(p1), p1)        # plane 2j
+    q1 = dot(_taps_pair(p0, p1, size_y=size_y, size_z=size_z, rows=rows),
+             w1_ref[...])                                    # (rows, 4C) f32
+
+    # finalize y1 planes (2j-2, 2j-1), fused BN1 (folded) + ReLU
+    b1 = b1_ref[0]
+    y1_a = jnp.maximum(q1k[:, 0:c].astype(jnp.float32) + q1[:, 0:c] + b1, 0.0)
+    y1_b = jnp.maximum(q1k[:, c:2 * c].astype(jnp.float32) + q1[:, c:2 * c]
+                       + b1, 0.0)
+    q1k[...] = q1[:, 2 * c:4 * c].astype(q1k.dtype)
+
+    # ---- conv2 on y1 planes (2j-3, 2j-2) ----
+    dt = r1p.dtype
+    r0 = r1p[...]                                   # y1 plane 2j-3 (saved)
+    r0 = jnp.where(j < 2, jnp.zeros_like(r0), r0)
+    r1 = jnp.where(jnp.logical_or(j < 1, j == half + 1),
+                   jnp.zeros((rows, c), dt), y1_a.astype(dt))  # plane 2j-2
+    r1p[...] = y1_b.astype(dt)                      # save plane 2j-1
+    q2 = dot(_taps_pair(r0, r1, size_y=size_y, size_z=size_z, rows=rows),
+             w2_ref[...])
+
+    # finalize y2 planes (2j-4, 2j-3): BN2 (folded) + skip + ReLU
+    @pl.when(j >= 2)
+    def _():
+        b2 = b2_ref[0]
+        sk_a = x_skip[:, 0, 0].reshape(rows, cin)
+        sk_b = x_skip[:, 0, 1].reshape(rows, cin)
+        if skip_proj:
+            # 1x1x1 projection skip + folded skip-BN (v2v.py:29-37).
+            ws = ws_ref[...]
+            bs = bs_ref[0]
+            sk_a = dot(sk_a.astype(ws.dtype), ws) + bs
+            sk_b = dot(sk_b.astype(ws.dtype), ws) + bs
+        else:
+            sk_a = sk_a.astype(jnp.float32)
+            sk_b = sk_b.astype(jnp.float32)
+        out_a = jnp.maximum(q2k[:, 0:c].astype(jnp.float32) + q2[:, 0:c]
+                            + b2 + sk_a, 0.0)
+        out_b = jnp.maximum(q2k[:, c:2 * c].astype(jnp.float32)
+                            + q2[:, c:2 * c] + b2 + sk_b, 0.0)
+        for i, relu_t in enumerate(tail_relu):
+            wt = tail_refs[2 * i][...]
+            bt = tail_refs[2 * i + 1][0]
+            out_a = dot(out_a.astype(wt.dtype), wt) + bt
+            out_b = dot(out_b.astype(wt.dtype), wt) + bt
+            if relu_t:
+                out_a = jnp.maximum(out_a, 0.0)
+                out_b = jnp.maximum(out_b, 0.0)
+        o_ref[:, 0, 0] = out_a.astype(o_ref.dtype).reshape(batch, yz, out_c)
+        o_ref[:, 0, 1] = out_b.astype(o_ref.dtype).reshape(batch, yz, out_c)
+
+    q2k[...] = q2[:, 2 * c:4 * c].astype(q2k.dtype)
+
+
+def res3d_block_fused(
+        x: jnp.ndarray,
+        w1: jnp.ndarray, b1: jnp.ndarray,
+        w2: jnp.ndarray, b2: jnp.ndarray,
+        skip_proj=None,
+        tail: Sequence[Tuple[jnp.ndarray, jnp.ndarray, bool]] = (),
+        out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+    """Fused Res3DBlock: relu(bn2(conv2(relu(bn1(conv1(x))))) + skip) [+tail].
+
+    Args:
+      x: (B, X, Y, Z, Cin) with even X.
+      w1: (3, 3, 3, Cin, C); w2: (3, 3, 3, C, C) — BN pre-folded
+        (:func:`lt_tpu.ops.pallas.conv3d.fold_bn`).
+      b1, b2: (C,) folded biases.
+      skip_proj: None for the identity skip (requires Cin == C), else
+        (ws (Cin, C), bs (C,)) — the folded 1x1x1 projection skip.
+      tail: optional sequence of (w (C_i, C_o), b (C_o,), relu) per-voxel
+        matmuls applied after the block (fused Basic3D k=1 / output conv).
+
+    Returns:
+      (B, X, Y, Z, C_out) where C_out is the last tail width (or C).
+    """
+    b, size_x, size_y, size_z, cin = x.shape
+    assert size_x % 2 == 0, size_x
+    yz = size_y * size_z
+    c = w1.shape[-1]
+    assert skip_proj is not None or cin == c, (cin, c)
+    out_c = tail[-1][0].shape[-1] if tail else c
+    out_dtype = out_dtype or x.dtype
+
+    w1p = pack_weights_s2(w1).astype(x.dtype)
+    w2p = pack_weights_s2(w2).astype(x.dtype)
+    b1r = b1.reshape(1, c).astype(jnp.float32)
+    b2r = b2.reshape(1, c).astype(jnp.float32)
+
+    # VMEM budget: P (M, 18C) x2 + Q (M, 4C) f32 x2 + keeps + blocks.
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    per_row = (18 * c * itemsize + 4 * c * 4) * 2 + 8 * c * 4 + 3 * c * 4
+    fold = b
+    while fold > 1 and (fold * yz * per_row > 56 * 1024 * 1024
+                        or b % fold != 0):
+        fold -= 1
+    groups = b // fold
+    rows = fold * yz
+    half = size_x // 2
+
+    x4 = x.reshape(b, size_x, yz, cin)
+    # 5-D views for the aligned 2-plane skip/output blocks (only the last
+    # two dims may be partially blocked).
+    x5 = x.reshape(b, half, 2, yz, cin)
+
+    in_specs = [
+        pl.BlockSpec((fold, 1, yz, cin),
+                     lambda g, j: (g, jnp.clip(2 * j - 1, 0, size_x - 1),
+                                   0, 0)),
+        pl.BlockSpec((fold, 1, yz, cin),
+                     lambda g, j: (g, jnp.clip(2 * j, 0, size_x - 1), 0, 0)),
+        # skip planes (2j-4, 2j-3) = 2-plane block j-2 (clamped)
+        pl.BlockSpec((fold, 1, 2, yz, cin),
+                     lambda g, j: (g, jnp.clip(j - 2, 0, half - 1), 0, 0, 0)),
+        pl.BlockSpec((18 * cin, 4 * c), lambda g, j: (0, 0)),
+        pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda g, j: (0, 0)),
+        pl.BlockSpec((1, c), lambda g, j: (0, 0)),
+    ]
+    operands = [x4, x4, x5, w1p, w2p, b1r, b2r]
+
+    if skip_proj is not None:
+        ws, bs = skip_proj
+        operands += [ws.astype(x.dtype),
+                     bs.reshape(1, c).astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((cin, c), lambda g, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, j: (0, 0)),
+        ]
+
+    for (wt, bt, _relu_t) in tail:
+        ci, co = wt.shape
+        operands += [wt.astype(x.dtype),
+                     bt.reshape(1, co).astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((ci, co), lambda g, j: (0, 0)),
+            pl.BlockSpec((1, co), lambda g, j: (0, 0)),
+        ]
+
+    kernel = functools.partial(
+        _res3d_kernel, batch=fold, size_x=size_x, yz=yz, size_y=size_y,
+        size_z=size_z, cin=cin, c=c,
+        tail_relu=tuple(bool(t[2]) for t in tail),
+        out_c=out_c, skip_proj=skip_proj is not None)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(groups, half + 2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (fold, 1, 2, yz, out_c),
+            lambda g, j: (g, jnp.clip(j - 2, 0, half - 1), 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, half, 2, yz, out_c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 2 * c), jnp.float32),   # q1 keep
+            pltpu.VMEM((rows, 2 * c), jnp.float32),   # q2 keep
+            pltpu.VMEM((rows, c), x.dtype),           # y1 plane history
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    return out.reshape(b, size_x, size_y, size_z, out_c)

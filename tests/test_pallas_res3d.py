@@ -1,0 +1,111 @@
+"""Parity tests for the fused Res3D block kernel vs the flax/XLA modules.
+
+Runs in interpreter mode on CPU; the same kernel is hardware-validated by
+benchmarks/bench_res3d.py and the flagship bench.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lt_tpu.models.backbone import BN_EPS
+from lt_tpu.models.v2v import Basic3DBlock, Conv3D, Res3DBlock
+from lt_tpu.ops.pallas.conv3d import fold_bn
+from lt_tpu.ops.pallas.res3d import res3d_block_fused
+
+
+def _folded_res_params(variables, c):
+    """Extract (w1, b1, w2, b2) with inference BN folded, from Res3DBlock."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def fold(conv_name, bn_name):
+        w = params[conv_name]["kernel"]
+        b = params[conv_name].get("bias")
+        bn_p = params[bn_name]["BatchNorm_0"]
+        bn_s = stats[bn_name]["BatchNorm_0"]
+        return fold_bn(w, b, bn_p["scale"], bn_p["bias"], bn_s["mean"],
+                       bn_s["var"], eps=BN_EPS)
+
+    w1, b1 = fold("conv1", "bn1")
+    w2, b2 = fold("conv2", "bn2")
+    return w1, b1, w2, b2
+
+
+def _init_res_block(rng, c, side, batch=2):
+    x = jnp.asarray(rng.randn(batch, side, side, side, c), jnp.float32)
+    block = Res3DBlock(c)
+    variables = block.init(jax.random.PRNGKey(0), x, False)
+    # Randomize BN stats so folding is actually exercised.
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    stats = variables["batch_stats"]
+    for bn in stats:
+        stats[bn]["BatchNorm_0"]["mean"] = jnp.asarray(
+            rng.randn(c) * 0.1, jnp.float32)
+        stats[bn]["BatchNorm_0"]["var"] = jnp.asarray(
+            1.0 + 0.3 * rng.rand(c), jnp.float32)
+    return x, block, variables
+
+
+@pytest.mark.parametrize("side", [8, 16])
+def test_res3d_fused_matches_flax(rng, side):
+    c = 32
+    x, block, variables = _init_res_block(rng, c, side)
+    ref = block.apply(variables, x, False)
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    got = res3d_block_fused(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_res3d_fused_projection_skip(rng):
+    """Cin != Cout: the 1x1x1 projection skip + skip-BN folding path."""
+    cin, c, side = 16, 32, 8
+    x = jnp.asarray(rng.randn(2, side, side, side, cin), jnp.float32)
+    block = Res3DBlock(c)
+    variables = block.init(jax.random.PRNGKey(0), x, False)
+    stats = variables["batch_stats"]
+    for bn in stats:
+        stats[bn]["BatchNorm_0"]["mean"] = jnp.asarray(
+            rng.randn(c) * 0.1, jnp.float32)
+        stats[bn]["BatchNorm_0"]["var"] = jnp.asarray(
+            1.0 + 0.3 * rng.rand(c), jnp.float32)
+    ref = block.apply(variables, x, False)
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    params = variables["params"]
+    bn_p = params["skip_bn"]["BatchNorm_0"]
+    bn_s = variables["batch_stats"]["skip_bn"]["BatchNorm_0"]
+    ws, bs = fold_bn(params["skip_conv"]["kernel"],
+                     params["skip_conv"].get("bias"),
+                     bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"],
+                     eps=BN_EPS)
+    got = res3d_block_fused(x, w1, b1, w2, b2,
+                            skip_proj=(ws.reshape(cin, c), bs),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_res3d_fused_with_tail(rng):
+    """Res block + two k1 Basic blocks + output conv == fused tail."""
+    c, side, n_out = 32, 8, 17
+    x, block, variables = _init_res_block(rng, c, side)
+    y = block.apply(variables, x, False)
+
+    tail = []
+    y_ref = y
+    for i, (co, relu_t) in enumerate([(c, True), (n_out, False)]):
+        wt = jnp.asarray(rng.randn(y_ref.shape[-1], co) * 0.2, jnp.float32)
+        bt = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+        y_ref = y_ref @ wt + bt
+        if relu_t:
+            y_ref = jax.nn.relu(y_ref)
+        tail.append((wt, bt, relu_t))
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    got = res3d_block_fused(x, w1, b1, w2, b2, tail=tail, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
