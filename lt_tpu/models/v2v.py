@@ -279,8 +279,23 @@ class Res3DBlock(nn.Module):
         return nn.relu(res + skip_branch())
 
 
-def pool3d(x, size: int = 2):
+def _use_pallas_updown(train: bool, size_x: int) -> bool:
+    """Gate for the pool/upsample kernels (ops/pallas/updown.py); rides the
+    master res3d gate plus its own kill switch LT_TPU_DISABLE_PALLAS_UPDOWN.
+    """
+    import os
+
+    return (_use_pallas_res3d(train, size_x)
+            and not os.environ.get("LT_TPU_DISABLE_PALLAS_UPDOWN"))
+
+
+def pool3d(x, size: int = 2, train: bool = True):
     """Max pool with kernel == stride (v2v.py:45-51)."""
+    if (size == 2 and _use_pallas_updown(train, x.shape[1])
+            and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+        from lt_tpu.ops.pallas.updown import max_pool3d_2x
+
+        return max_pool3d_2x(x)
     return nn.max_pool(x, (size, size, size), strides=(size, size, size))
 
 
@@ -302,6 +317,19 @@ class Upsample3DBlock(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        bn = BatchNorm(name="bn")
+        if _use_pallas_updown(train, x.shape[1]):
+            # Fused transposed-conv + folded BN + ReLU kernel: one matmul
+            # per plane producing all 8 (dx, dy, dz) taps, interleaved
+            # in-VMEM (keeps the V2V chain custom-call-to-custom-call).
+            from lt_tpu.ops.pallas.updown import (pack_upsample_weights,
+                                                  upsample3d_2x)
+
+            scale, bn_bias, mean, var = _bn_constants(bn, self.features)
+            w8, b8 = pack_upsample_weights(kernel, bias, scale, bn_bias,
+                                           mean, var, eps=BN_EPS)
+            return upsample3d_2x(x.astype(self.compute_dtype), w8, b8)
+
         pad = 2 - 1 - 0  # k - 1 - p
         y = jax.lax.conv_transpose(
             x.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
@@ -309,7 +337,7 @@ class Upsample3DBlock(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             transpose_kernel=True)
         y = y + bias.astype(y.dtype)
-        y = BatchNorm(name="bn")(y, train)
+        y = bn(y, train)
         return nn.relu(y)
 
 
@@ -322,19 +350,19 @@ class EncoderDecoder(nn.Module):
     def __call__(self, x, train: bool):
         dt = self.compute_dtype
         skip1 = Res3DBlock(32, dt, name="skip_res1")(x, train)
-        x = pool3d(x)
+        x = pool3d(x, train=train)
         x = Res3DBlock(64, dt, name="encoder_res1")(x, train)
         skip2 = Res3DBlock(64, dt, name="skip_res2")(x, train)
-        x = pool3d(x)
+        x = pool3d(x, train=train)
         x = Res3DBlock(128, dt, name="encoder_res2")(x, train)
         skip3 = Res3DBlock(128, dt, name="skip_res3")(x, train)
-        x = pool3d(x)
+        x = pool3d(x, train=train)
         x = Res3DBlock(128, dt, name="encoder_res3")(x, train)
         skip4 = Res3DBlock(128, dt, name="skip_res4")(x, train)
-        x = pool3d(x)
+        x = pool3d(x, train=train)
         x = Res3DBlock(128, dt, name="encoder_res4")(x, train)
         skip5 = Res3DBlock(128, dt, name="skip_res5")(x, train)
-        x = pool3d(x)
+        x = pool3d(x, train=train)
         x = Res3DBlock(128, dt, name="encoder_res5")(x, train)
 
         x = Res3DBlock(128, dt, name="mid_res")(x, train)

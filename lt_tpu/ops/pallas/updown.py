@@ -1,0 +1,191 @@
+"""Pallas TPU kernels: 2x max-pool and 2x transposed-conv upsampling for V2V.
+
+Functional parity targets: ``Pool3DBlock`` (/root/reference/mvn/models/
+v2v.py:45-51, MaxPool3d(2)) and ``Upsample3DBlock`` (v2v.py:54-66,
+ConvTranspose3d(k=2, s=2) + BN + ReLU).
+
+These exist to keep the V2V inference hot path custom-call-to-custom-call:
+XLA's reduce-window/conv-transpose between the fused Res3D kernels forces
+layout conversions at every pallas<->XLA boundary (the in-context cost
+measured in round 1).  Both kernels are elementwise/VPU-light:
+
+- pool: per output x-plane, max of two input planes, then z- and y-pair
+  reductions as single-dim strided loads from f32 VMEM scratch (the only
+  strided access Mosaic lowers);
+- upsample: per input x-plane, one (M, Cin) @ (Cin, Cout) matmul per
+  (dx, dy, dz) tap (k=2, s=2 transposed conv touches each output voxel
+  exactly once), z-/y-interleaved via pairs of strided stores into VMEM
+  scratch; folded BN + ReLU fused on the way out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pool_kernel(x_a, x_b, o_ref, s1, s2, *, batch: int, yz: int,
+                 size_y: int, size_z: int, c: int):
+    # Mosaic constraints shape this kernel: strided slicing only works on
+    # memory refs (not computed values), only with 32-bit elements, and
+    # only along a single non-lane dim — so each pair-reduction round-trips
+    # through f32 VMEM scratch (max is exact, so no drift) and the y pairs
+    # use a 3D view so the stride stays on a leading dim.
+    rows = batch * yz
+    s1[...] = jnp.maximum(x_a[:, 0].reshape(rows, c),
+                          x_b[:, 0].reshape(rows, c)).astype(jnp.float32)
+    # z pairs: rows are (b, y, z) with z fastest.
+    a = jnp.maximum(s1[::2], s1[1::2])               # (rows/2, C)
+    # y pairs: view as (B*Y, Z/2, C); stride 2 over the leading (b, y) dim
+    # pairs adjacent y (Y even, so pairs never straddle b).
+    s2[...] = a.reshape(batch * size_y, size_z // 2, c)
+    b2 = jnp.maximum(s2[::2], s2[1::2])              # (B*Y/2, Z/2, C)
+    o_ref[:, 0] = b2.reshape(batch, yz // 4, c).astype(o_ref.dtype)
+
+
+def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """MaxPool3d(kernel=2, stride=2) over (B, X, Y, Z, C), all dims even."""
+    b, size_x, size_y, size_z, c = x.shape
+    assert size_x % 2 == 0 and size_y % 2 == 0 and size_z % 2 == 0, x.shape
+    yz = size_y * size_z
+
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    fold = b
+    while fold > 1 and (fold * yz * c * 8 * itemsize > 40 * 1024 * 1024
+                        or b % fold != 0):
+        fold -= 1
+
+    kernel = functools.partial(_pool_kernel, batch=fold, yz=yz,
+                               size_y=size_y, size_z=size_z, c=c)
+    x4 = x.reshape(b, size_x, yz, c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // fold, size_x // 2),
+        in_specs=[
+            pl.BlockSpec((fold, 1, yz, c), lambda g, j: (g, 2 * j, 0, 0)),
+            pl.BlockSpec((fold, 1, yz, c),
+                         lambda g, j: (g, 2 * j + 1, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fold, 1, yz // 4, c),
+                               lambda g, j: (g, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, size_x // 2, yz // 4, c),
+                                       x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((fold * yz, c), jnp.float32),
+            pltpu.VMEM((fold * size_y, size_z // 2, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x4, x4)
+    return out.reshape(b, size_x // 2, size_y // 2, size_z // 2, c)
+
+
+def _upsample_kernel(x_ref, w_ref, b_ref, o_ref, zb, yb, *, batch: int,
+                     yz: int, size_y: int, size_z: int, cin: int,
+                     cout: int):
+    # Mosaic supports strided loads/stores only on refs, in f32, along a
+    # single non-lane dim — so each 2x interleave is a pair of strided
+    # stores into VMEM scratch (z pairs on a 2D view, y pairs on a 3D view
+    # so the stride stays on a leading dim).  One matmul per (dx, dy, dz)
+    # tap keeps everything else as plain values.
+    rows = batch * yz
+    plane = x_ref[:, 0].reshape(rows, cin)
+
+    def tap(t):
+        q = jax.lax.dot_general(plane, w_ref[t], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jnp.maximum(q + b_ref[t], 0.0)        # (rows, Cout) f32
+
+    for dx in (0, 1):
+        vs = []
+        for dy in (0, 1):
+            base = dx * 4 + dy * 2
+            zb[::2] = tap(base)                      # z-interleave
+            zb[1::2] = tap(base + 1)
+            vs.append(zb[...].reshape(batch * size_y, 2 * size_z, cout))
+        yb[::2] = vs[0]                              # y-interleave
+        yb[1::2] = vs[1]
+        o_ref[:, 0, dx] = yb[...].reshape(batch, 4 * yz,
+                                          cout).astype(o_ref.dtype)
+
+
+def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused ConvTranspose3d(2, 2) + folded BN + ReLU.
+
+    Args:
+      x: (B, X, Y, Z, Cin).
+      w8: (Cin, 8*Cout) packed taps, column block (dx*4 + dy*2 + dz)*Cout
+        (:func:`pack_upsample_weights`), BN scale pre-folded.
+      bias: (8*Cout,) — conv bias + folded BN offset, tiled per tap block.
+
+    Returns:
+      (B, 2X, 2Y, 2Z, Cout) in x.dtype.
+    """
+    b, size_x, size_y, size_z, cin = x.shape
+    cout = w8.shape[1] // 8
+    yz = size_y * size_z
+
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    per_row = (cin * itemsize + 8 * cout * itemsize   # in + out blocks
+               + 2 * cout * 4 + 8 * cout * 4) * 2     # zb + yb scratch, x2
+    fold = b
+    while fold > 1 and (fold * yz * per_row > 48 * 1024 * 1024
+                        or b % fold != 0):
+        fold -= 1
+
+    kernel = functools.partial(_upsample_kernel, batch=fold, yz=yz,
+                               size_y=size_y, size_z=size_z, cin=cin,
+                               cout=cout)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // fold, size_x),
+        in_specs=[
+            pl.BlockSpec((fold, 1, yz, cin), lambda g, j: (g, j, 0, 0)),
+            pl.BlockSpec((8, cin, cout), lambda g, j: (0, 0, 0)),
+            pl.BlockSpec((8, 1, cout), lambda g, j: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((fold, 1, 2, 4 * yz, cout),
+                               lambda g, j: (g, j, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, size_x, 2, 4 * yz, cout),
+                                       x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * fold * yz, cout), jnp.float32),
+            pltpu.VMEM((2 * fold * size_y, 2 * size_z, cout), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(b, size_x, yz, cin),
+      w8.reshape(cin, 8, cout).transpose(1, 0, 2).astype(x.dtype),
+      bias.reshape(8, 1, cout).astype(jnp.float32))
+    return out.reshape(b, 2 * size_x, 2 * size_y, 2 * size_z, cout)
+
+
+def pack_upsample_weights(kernel: jnp.ndarray, conv_bias, scale, bn_bias,
+                          mean, var, eps: float = 1e-5):
+    """Fold BN into the flax Upsample3DBlock params and pack for the kernel.
+
+    ``kernel``: (2, 2, 2, Cout, Cin) as declared by Upsample3DBlock (used
+    with ``lax.conv_transpose(..., transpose_kernel=True)``).  For k=2,
+    s=2, p=0 each output voxel (2x+dx, 2y+dy, 2z+dz) receives exactly
+    in[x, y, z] * K[dx, dy, dz], so the packed matrix's (dx, dy, dz) column
+    block is ``kernel[dx, dy, dz].T`` (Cin, Cout), scaled by the BN fold.
+    """
+    _, _, _, cout, cin = kernel.shape
+    g = scale / jnp.sqrt(var + eps)
+    cols = []
+    bvals = []
+    base = (conv_bias if conv_bias is not None
+            else jnp.zeros((cout,), kernel.dtype))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cols.append(kernel[dx, dy, dz].T * g)    # (Cin, Cout)
+                bvals.append((base - mean) * g + bn_bias)
+    return jnp.concatenate(cols, axis=1), jnp.concatenate(bvals)
