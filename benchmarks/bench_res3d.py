@@ -54,8 +54,14 @@ def main():
     variables = block.init(jax.random.PRNGKey(0), x, False)
     w1, b1, w2, b2 = _folded_res_params(variables, c)
 
+    # Force the true XLA conv path for the reference leg (the model
+    # block routes to the pallas kernel by default on TPU since round 2).
+    import os
+
+    os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
     xla = jax.jit(lambda v, x: block.apply(v, x, False))
     t_xla = timed(xla, variables, x)
+    os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D")
     print(f"XLA Res3DBlock 32ch @64^3 b8 : {t_xla*1e3:7.2f} ms")
 
     fused = jax.jit(lambda x, w1, b1, w2, b2: res3d_block_fused(
@@ -81,7 +87,9 @@ def main():
             x = res3d_block_fused(x, w1, b1, w2, b2)
         return x
 
+    os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
     t_cx = timed(jax.jit(chain_x), variables, x)
+    os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D")
     t_cf = timed(jax.jit(chain_f), x, w1, b1, w2, b2)
     print(f"XLA   3-chain: {t_cx*1e3:7.2f} ms | fused 3-chain: "
           f"{t_cf*1e3:7.2f} ms ({t_cx/t_cf:.2f}x)")

@@ -37,8 +37,17 @@ def main():
     j, v = 17, 4
     images, proj, keypoints = _example_batch(args.batch, v, args.image, j)
 
+    import os
+
     outs = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        # The f32 leg is the precision REFERENCE: force the XLA conv path
+        # (Mosaic dots run at DEFAULT precision regardless of input dtype,
+        # so a pallas f32 leg would not be a true f32 baseline).
+        if name == "f32":
+            os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
+        else:
+            os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D", None)
         model = VolumetricTriangulationNet(
             num_joints=j, num_layers=args.layers, volume_size=args.volume,
             cuboid_side=2500.0, volume_aggregation_method="softmax",

@@ -77,11 +77,17 @@ def pack_weights_s2(weights: jnp.ndarray) -> jnp.ndarray:
     return w2.reshape(18 * cin, 4 * cout)
 
 
-def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int):
+def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int,
+               fold: int = 0):
     """The 18 masked (dy, dz) taps of a plane pair, concatenated on lanes.
 
     Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z); shifts
     that wrap across batch/y boundaries are exactly where the masks zero.
+
+    With ``fold == 1`` (one batch sample per step) the dy shifts cannot
+    cross a batch boundary, so their zero-fill IS the y mask and only the
+    two dz != 0 bases need a where — 2 VPU mask ops per plane instead
+    of 9 (the single biggest VPU cost in this kernel at 32 channels).
     """
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     z_of_r = r % size_z
@@ -91,10 +97,18 @@ def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int):
         for dz in (-1, 0, 1):
             base = _row_shift_up(plane, dz)
             z_ok = (z_of_r + dz >= 0) & (z_of_r + dz < size_z)
+            if fold == 1 and dz != 0:
+                # Pre-mask the base once; dy shifts of a zeroed row stay
+                # zero, and the plane-edge zero-fill covers the y mask.
+                base = jnp.where(z_ok, base, jnp.zeros_like(base))
             for dy in (-1, 0, 1):
                 t = _row_shift_up(base, dy * size_z)      # vreg-aligned
-                valid = z_ok & (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
-                taps.append(jnp.where(valid, t, jnp.zeros_like(t)))
+                if fold == 1:
+                    taps.append(t)
+                else:
+                    valid = (z_ok & (y_of_r + dy >= 0)
+                             & (y_of_r + dy < size_y))
+                    taps.append(jnp.where(valid, t, jnp.zeros_like(t)))
     return jnp.concatenate(taps, axis=-1)                 # (rows, 18*C)
 
 
@@ -126,7 +140,8 @@ def _res3d_kernel(x_a, x_b, x_skip, w1_ref, w2_ref, b1_ref, b2_ref,
     p0 = jnp.where(jnp.logical_or(j == 0, j == half + 1),
                    jnp.zeros_like(p0), p0)          # plane 2j-1 out of range
     p1 = jnp.where(j >= half, jnp.zeros_like(p1), p1)        # plane 2j
-    q1 = dot(_taps_pair(p0, p1, size_y=size_y, size_z=size_z, rows=rows),
+    q1 = dot(_taps_pair(p0, p1, size_y=size_y, size_z=size_z, rows=rows,
+                        fold=batch),
              w1_ref[...])                                    # (rows, 4C) f32
 
     # finalize y1 planes (2j-2, 2j-1), fused BN1 (folded) + ReLU
@@ -143,7 +158,8 @@ def _res3d_kernel(x_a, x_b, x_skip, w1_ref, w2_ref, b1_ref, b2_ref,
     r1 = jnp.where(jnp.logical_or(j < 1, j == half + 1),
                    jnp.zeros((rows, c), dt), y1_a.astype(dt))  # plane 2j-2
     r1p[...] = y1_b.astype(dt)                      # save plane 2j-1
-    q2 = dot(_taps_pair(r0, r1, size_y=size_y, size_z=size_z, rows=rows),
+    q2 = dot(_taps_pair(r0, r1, size_y=size_y, size_z=size_z, rows=rows,
+                        fold=batch),
              w2_ref[...])
 
     # finalize y2 planes (2j-4, 2j-3): BN2 (folded) + skip + ReLU
@@ -215,11 +231,16 @@ def res3d_block_fused(
     b2r = b2.reshape(1, c).astype(jnp.float32)
 
     # VMEM budget: P (M, 18C) x2 + Q (M, 4C) f32 x2 + keeps + blocks.
+    # Scoped-vmem headroom is calibrated for bf16; f32 inputs double the
+    # patch matrices AND Mosaic's temporaries, so halve the budget with
+    # itemsize (measured: fold=2 f32 at 32ch hit 109.5M of the 109M limit).
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
     per_row = (18 * c * itemsize + 4 * c * 4) * 2 + 8 * c * 4 + 3 * c * 4
-    fold = b
-    while fold > 1 and (fold * yz * per_row > 56 * 1024 * 1024
-                        or b % fold != 0):
+    budget = 56 * 1024 * 1024 * 2 // itemsize
+    # fold=1 at large planes: M=YZ rows already fills the MXU pipeline and
+    # the batch-boundary-free taps skip 16 of 18 VPU masks per plane pair.
+    fold = 1 if yz >= 4096 else b
+    while fold > 1 and (fold * yz * per_row > budget or b % fold != 0):
         fold -= 1
     groups = b // fold
     rows = fold * yz
