@@ -42,20 +42,22 @@ RESNET_SPEC = {
 class BatchNorm(nn.Module):
     """PyTorch-compatible BatchNorm2d over the channel (last) axis.
 
-    Runs statistics in float32 even under bfloat16 compute.
+    Statistics (mean/var/EMA) are always float32 — flax's ``_compute_stats``
+    upcasts internally — but the normalize itself runs in the input dtype:
+    an f32 normalize under bf16 compute materializes f32 activations that
+    remat then saves (2x HBM on every 64^3 V2V tensor; the difference
+    between flagship batch-5 training fitting in one chip or not).
     """
 
     @nn.compact
     def __call__(self, x, train: bool):
-        dtype = x.dtype
-        y = nn.BatchNorm(
+        return nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=x.dtype,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(dtype)
+        )(x)
 
 
 def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,

@@ -134,10 +134,14 @@ class Conv3D(nn.Module):
 
         assert bn_fold is None and not relu and residual is None, (
             "fused epilogue requires the Pallas fast path")
-        if k < 5:
+        if k < 5 or train:
             # Direct conv: for k=3 the z-decomposition's extra HBM traffic
             # (materializing the k*O-channel Q tensor) outweighs its MXU
-            # utilization win; only the k=7 front conv nets out ahead.
+            # utilization win; only the k=7 front conv nets out ahead — and
+            # only at inference: under autodiff+remat the decomposition's
+            # padded shift-add temporaries (20 x 180 MB with 2x layout
+            # padding) are what keeps flagship batch-5 training from
+            # fitting in one chip's HBM.
             pad = ((self.padding, self.padding),) * 3 if k > 1 else "VALID"
             y = jax.lax.conv_general_dilated(
                 x.astype(self.compute_dtype),

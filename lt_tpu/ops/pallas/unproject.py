@@ -171,7 +171,7 @@ def _unproject_kernel(m_ref, f_ref, o_ref, *, tile: int, grid_size: int,
             lambda i, j: m_ref[0, i, j], tt,
             tile=tile, grid_size=grid_size, height=height, width=width,
             channels=channels, f32_mode=f_ref.dtype == jnp.float32,
-            band_width=band_width, c0=c0)
+            band_width=band_width, c0=c0).astype(o_ref.dtype)
 
 
 def _unproject_agg_kernel(c0_sref, m_ref, f_ref, mask_ref, conf_ref, o_ref,
@@ -439,7 +439,8 @@ def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
 def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
                            grid_size: int, tile: int = 256,
                            band_width: Optional[int] = 16,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           out_dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear-sample every voxel of an affine grid from per-view features.
 
     Args:
@@ -486,7 +487,7 @@ def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
             ],
             out_specs=pl.BlockSpec((1, tile * subtiles, c),
                                    lambda b, t: (b, t, 0)),
-            out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((bv, n, c), out_dtype),
             interpret=interpret,
         )(affine, feats)
 
@@ -512,9 +513,81 @@ def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bv, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bv, n, c), out_dtype),
         interpret=interpret,
     )(c0s, affine, feats)
+
+
+def _unproject_kernel_t(c0_sref, m_ref, f_ref, o_ref, *, tile: int,
+                        grid_size: int, height: int, width: int,
+                        channels: int, band_width: int, subtiles: int):
+    """Transposed-orientation unfused sampling: output block (1, C, N-tile).
+
+    The (BV, C, N) output layout is PAD-FREE on TPU (N in lanes, C in
+    sublanes) — the standard (BV, N, C) orientation tiles C=32 into 128
+    lanes, a 4x HBM expansion that alone decides whether flagship batch-5
+    training fits in one chip's HBM.
+    """
+    t = pl.program_id(1)
+    for s in range(subtiles):
+        tt = t * subtiles + s
+        c0 = c0_sref[pl.program_id(0), tt]
+        out = _tile_sample_t(
+            lambda start, n_rows: f_ref[0, pl.ds(start, n_rows), :],
+            lambda i, j: m_ref[0, i, j], tt,
+            tile=tile, grid_size=grid_size, height=height, width=width,
+            channels=channels, f32_mode=f_ref.dtype == jnp.float32,
+            band_width=band_width, c0=c0)
+        o_ref[0, :, pl.ds(s * tile, tile)] = out.astype(o_ref.dtype)
+
+
+def _sample_views_fwd_impl_t(features: jnp.ndarray, affine: jnp.ndarray,
+                             grid_size: int, tile: int = 256,
+                             band_width: Optional[int] = 16,
+                             interpret: bool = False,
+                             out_dtype=jnp.float32) -> jnp.ndarray:
+    """Transposed twin of :func:`_sample_views_fwd_impl`: (BV, C, S^3)."""
+    bv, h, wdt, c = features.shape
+    n = grid_size ** 3
+    tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
+    n_tiles = n // tile
+    subtiles = _pick_subtiles(n_tiles)
+
+    sub_align = 16 if features.dtype == jnp.bfloat16 else 8
+    use_bands = (band_width is not None and band_width < wdt
+                 and tile % grid_size == 0 and (c % sub_align == 0))
+    if use_bands:
+        c0s = _tile_column_bands(affine, grid_size, tile, h, wdt,
+                                 band_width, c, align=1)
+        bw = band_width
+    else:
+        c0s = jnp.full((bv, n_tiles), -1, jnp.int32)
+        bw = wdt  # chunked fallback == one full-width pass
+
+    # F^T (BV, W*C, H): one XLA relayout amortized across all voxel tiles.
+    feats_t = jnp.transpose(features, (0, 2, 3, 1)).reshape(bv, wdt * c, h)
+
+    kernel = functools.partial(_unproject_kernel_t, tile=tile,
+                               grid_size=grid_size, height=h, width=wdt,
+                               channels=c, band_width=bw, subtiles=subtiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bv, n_tiles // subtiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t, sref: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wdt * c, h), lambda b, t, sref: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, tile * subtiles),
+                               lambda b, t, sref: (b, 0, t)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bv, c, n), out_dtype),
+        interpret=interpret,
+    )(c0s, affine, feats_t)
 
 
 def _tile_column_bands(affine: jnp.ndarray, grid_size: int, tile: int,
@@ -618,12 +691,18 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                 b, grid_size, grid_size, grid_size, c)
         return volume.reshape(b, c, grid_size, grid_size, grid_size)
 
-    sampled = sample_views_affine(
+    # Unfused (training) path, transposed orientation throughout: the
+    # kernel emits (B, V, C, N) directly in aggregation_dtype.  Both
+    # choices are HBM-peak levers at flagship batch 5: a post-hoc cast
+    # would materialize the f32 buffer anyway, and the (..., N, C)
+    # orientation tiles C=32 into 128 lanes — a 4x layout-padding
+    # expansion (2.5 GB) on the softmax residual that alone kept
+    # reference batch-5 training from fitting in one chip's HBM.
+    sampled = sample_views_affine_t(
         features.reshape(b * v, h, wdt, c), m.reshape(b * v, 3, 4),
-        grid_size, tile, band_width, interpret)
-    sampled = sampled.reshape(b, v, n, c)
-    if aggregation_dtype is not None:
-        sampled = sampled.astype(aggregation_dtype)
+        grid_size, tile, band_width, interpret,
+        aggregation_dtype or jnp.float32)
+    sampled = sampled.reshape(b, v, c, n)
 
     mask = None
     if view_mask is not None:
@@ -631,7 +710,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
 
     method = volume_aggregation_method
     if method.startswith("conf"):
-        conf = vol_confidences[:, :, None, :]
+        conf = vol_confidences[:, :, :, None]                # (B, V, C, 1)
         if mask is not None:
             conf = jnp.where(mask, conf, 0.0)
         volume = (sampled * conf).sum(axis=1)
@@ -655,10 +734,11 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
     else:
         raise ValueError(f"Unknown volume_aggregation_method: {method}")
 
+    # volume is (B, C, N) here (transposed orientation).
     if channels_last:
-        return volume.reshape(b, grid_size, grid_size, grid_size, c)
-    return volume.swapaxes(1, 2).reshape(b, c, grid_size, grid_size,
-                                         grid_size)
+        return volume.swapaxes(1, 2).reshape(
+            b, grid_size, grid_size, grid_size, c)
+    return volume.reshape(b, c, grid_size, grid_size, grid_size)
 
 
 # ---------------------------------------------------------------------------
@@ -750,9 +830,129 @@ def _sample_views_grad_features(g: jnp.ndarray, affine: jnp.ndarray,
     return df.reshape(bv, h, wdt, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _unproject_bwd_kernel_t(m_ref, g_ref, o_ref, *, tile: int,
+                            grid_size: int, height: int, width: int,
+                            channels: int):
+    """Transposed backward: accumulate dF^T (W*C, H) from (C, TILE) grads.
+
+    Same math as :func:`_unproject_bwd_kernel` with every operand
+    transposed (voxels in lanes): dF^T = dM^T @ A with dM^T the upstream
+    grad broadcast across the W sublane groups times the column weights.
+    """
+    t = pl.program_id(1)
+    wc = width * channels
+
+    n = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    gz = (n % grid_size).astype(jnp.float32)
+    gy = ((n // grid_size) % grid_size).astype(jnp.float32)
+    gx = (n // (grid_size * grid_size)).astype(jnp.float32)
+
+    def row(i):
+        return (m_ref[0, i, 0] * gx + m_ref[0, i, 1] * gy
+                + m_ref[0, i, 2] * gz + m_ref[0, i, 3])
+
+    u, v, w = row(0), row(1), row(2)
+    invalid = w <= 0.0
+    w_safe = jnp.where(w == 0.0, 1.0, w)
+    x = jnp.where(invalid, 0.0, u / w_safe) * ((width - 1) / width)
+    y = jnp.where(invalid, 0.0, v / w_safe) * ((height - 1) / height)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    g = jnp.where(invalid, 0.0, g_ref[0].astype(jnp.float32))  # (C, TILE)
+    gp = pltpu.repeat(g, width, axis=0)                        # (W*C, TILE)
+
+    ww = (jax.lax.broadcasted_iota(jnp.int32, (wc, tile), 0) // channels)
+    bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+            + jnp.where(ww == x0i + 1, wx, 0.0))
+    dm_t = (gp * bexp).astype(jnp.bfloat16)                    # (W*C, TILE)
+
+    hh = jax.lax.broadcasted_iota(jnp.int32, (height, tile), 0)
+    a_t = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
+           + jnp.where(hh == y0i + 1, wy, 0.0)).astype(jnp.bfloat16)
+
+    # dM^T @ A^T^T: contract the tile (lane) dim -> (W*C, H).
+    contrib = jax.lax.dot_general(
+        dm_t, a_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[0] = contrib
+
+    @pl.when(t > 0)
+    def _():
+        o_ref[0] = o_ref[0] + contrib
+
+
+def _sample_views_grad_features_t(g: jnp.ndarray, affine: jnp.ndarray,
+                                  feat_shape, grid_size: int, tile: int,
+                                  interpret: bool) -> jnp.ndarray:
+    bv, h, wdt, c = feat_shape
+    n = grid_size ** 3
+    tile = min(tile, n)
+
+    kernel = functools.partial(_unproject_bwd_kernel_t, tile=tile,
+                               grid_size=grid_size, height=h, width=wdt,
+                               channels=c)
+    df_t = pl.pallas_call(
+        kernel,
+        grid=(bv, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, tile), lambda b, t: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, wdt * c, h), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bv, wdt * c, h), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(affine, g)
+    return jnp.transpose(df_t.reshape(bv, wdt, c, h), (0, 3, 1, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def sample_views_affine_t(features, affine, grid_size, tile=256,
+                          band_width=16, interpret=False,
+                          out_dtype=jnp.float32):
+    """Differentiable transposed sampling: (BV, H, W, C) -> (BV, C, S^3).
+
+    Pad-free output orientation (see _unproject_kernel_t); gradients flow
+    to ``features`` only, like :func:`sample_views_affine`.
+    """
+    return _sample_views_fwd_impl_t(features, affine, grid_size, tile,
+                                    band_width, interpret, out_dtype)
+
+
+def _sample_views_fwd_t(features, affine, grid_size, tile, band_width,
+                        interpret, out_dtype):
+    out = _sample_views_fwd_impl_t(features, affine, grid_size, tile,
+                                   band_width, interpret, out_dtype)
+    token = jnp.zeros((0,) + features.shape[1:], features.dtype)
+    return out, (affine, token)
+
+
+def _sample_views_bwd_t(grid_size, tile, band_width, interpret, out_dtype,
+                        res, g):
+    affine, token = res
+    feat_shape = (affine.shape[0],) + token.shape[1:]
+    df = _sample_views_grad_features_t(g, affine, feat_shape, grid_size,
+                                       tile, interpret)
+    return df.astype(token.dtype), jnp.zeros_like(affine)
+
+
+sample_views_affine_t.defvjp(_sample_views_fwd_t, _sample_views_bwd_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def sample_views_affine(features, affine, grid_size, tile=256,
-                        band_width=16, interpret=False):
+                        band_width=16, interpret=False,
+                        out_dtype=jnp.float32):
     """Differentiable fused sampling (see _sample_views_fwd_impl).
 
     Gradients flow to ``features`` only; ``affine`` gets zeros.  That is
@@ -762,20 +962,21 @@ def sample_views_affine(features, affine, grid_size, tile=256,
     through the unprojection).
     """
     return _sample_views_fwd_impl(features, affine, grid_size, tile,
-                                  band_width, interpret)
+                                  band_width, interpret, out_dtype)
 
 
 def _sample_views_fwd(features, affine, grid_size, tile, band_width,
-                      interpret):
+                      interpret, out_dtype):
     out = _sample_views_fwd_impl(features, affine, grid_size, tile,
-                                 band_width, interpret)
+                                 band_width, interpret, out_dtype)
     # Zero-length token carries the feature shape/dtype through residuals
     # (residuals must be JAX types).
     token = jnp.zeros((0,) + features.shape[1:], features.dtype)
     return out, (affine, token)
 
 
-def _sample_views_bwd(grid_size, tile, band_width, interpret, res, g):
+def _sample_views_bwd(grid_size, tile, band_width, interpret, out_dtype,
+                      res, g):
     affine, token = res
     feat_shape = (affine.shape[0],) + token.shape[1:]
     df = _sample_views_grad_features(g, affine, feat_shape, grid_size, tile,

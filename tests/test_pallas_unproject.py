@@ -144,3 +144,32 @@ def test_kernel_gradient_matches_xla(setup):
     scale = float(jnp.abs(g2).max())
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=2e-2 * scale, rtol=1e-2)
+
+
+def test_kernel_bf16_aggregation_dtype(setup):
+    """Training path: the kernel emits the sampled tensor in bf16 directly
+    (halves the softmax-aggregation residual that gated flagship batch-5
+    training memory); outputs and gradients stay within bf16 tolerance."""
+    import jax
+
+    feats, proj, base, thetas, s = setup
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randn(2, s, s, s, 8).astype(np.float32))
+
+    def make_loss(agg_dtype):
+        def loss(f):
+            out = pu.unproject_heatmaps_affine(
+                f, proj, affine, s, "softmax", tile=64,
+                aggregation_dtype=agg_dtype, channels_last=True,
+                interpret=True)
+            return jnp.sum(out * w)
+        return loss
+
+    l32, g32 = jax.value_and_grad(make_loss(None))(feats)
+    l16, g16 = jax.value_and_grad(make_loss(jnp.bfloat16))(feats)
+    assert g16.dtype == feats.dtype
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+    scale = float(jnp.abs(g32).max())
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               atol=3e-2 * scale, rtol=3e-2)
