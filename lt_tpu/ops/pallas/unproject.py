@@ -644,7 +644,7 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                               volume_aggregation_method: str = "softmax",
                               vol_confidences: Optional[jnp.ndarray] = None,
                               view_mask: Optional[jnp.ndarray] = None,
-                              tile: int = 256,
+                              tile: int = 512,
                               band_width: Optional[int] = 16,
                               channels_last: bool = False,
                               fuse_aggregation: bool = False,
