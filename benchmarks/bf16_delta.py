@@ -40,11 +40,15 @@ def main():
     import os
 
     outs = {}
-    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    legs = (("f32", jnp.float32, True), ("bf16_xla", jnp.bfloat16, True),
+            ("bf16", jnp.bfloat16, False))
+    for name, dt, disable_pallas in legs:
         # The f32 leg is the precision REFERENCE: force the XLA conv path
         # (Mosaic dots run at DEFAULT precision regardless of input dtype,
-        # so a pallas f32 leg would not be a true f32 baseline).
-        if name == "f32":
+        # so a pallas f32 leg would not be a true f32 baseline).  The
+        # bf16_xla leg separates the dtype contribution from the pallas-
+        # kernel contribution.
+        if disable_pallas:
             os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
         else:
             os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D", None)
@@ -69,12 +73,13 @@ def main():
         outs[name] = np.asarray(kp, np.float64)
         print(f"{name}: keypoints computed")
 
-    per_joint = np.sqrt(((outs["bf16"] - outs["f32"]) ** 2).sum(-1))
-    print(f"bf16-vs-f32 keypoint delta: mean {per_joint.mean():.4f} mm, "
-          f"p95 {np.percentile(per_joint, 95):.4f} mm, "
-          f"max {per_joint.max():.4f} mm "
-          f"(volume {args.volume}^3, cuboid 2500 mm -> voxel "
-          f"{2500 / (args.volume - 1):.1f} mm)")
+    for leg in ("bf16_xla", "bf16"):
+        per_joint = np.sqrt(((outs[leg] - outs["f32"]) ** 2).sum(-1))
+        print(f"{leg}-vs-f32 keypoint delta: mean {per_joint.mean():.4f} mm, "
+              f"p95 {np.percentile(per_joint, 95):.4f} mm, "
+              f"max {per_joint.max():.4f} mm "
+              f"(volume {args.volume}^3, cuboid 2500 mm -> voxel "
+              f"{2500 / (args.volume - 1):.1f} mm)")
 
 
 if __name__ == "__main__":

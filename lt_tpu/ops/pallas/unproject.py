@@ -830,14 +830,17 @@ def _sample_views_grad_features(g: jnp.ndarray, affine: jnp.ndarray,
     return df.reshape(bv, h, wdt, c)
 
 
-def _unproject_bwd_kernel_t(m_ref, g_ref, o_ref, *, tile: int,
+def _unproject_bwd_kernel_t(c0_sref, m_ref, g_ref, o_ref, *, tile: int,
                             grid_size: int, height: int, width: int,
-                            channels: int):
+                            channels: int, band_width: int):
     """Transposed backward: accumulate dF^T (W*C, H) from (C, TILE) grads.
 
     Same math as :func:`_unproject_bwd_kernel` with every operand
     transposed (voxels in lanes): dF^T = dM^T @ A with dM^T the upstream
     grad broadcast across the W sublane groups times the column weights.
+    Tiles whose taps fit a precomputed column band (c0 >= 0, the common
+    case) only build and accumulate the (band_width*C, TILE) slice —
+    width/band_width fewer FLOPs than the full-width pass.
     """
     t = pl.program_id(1)
     wc = width * channels
@@ -864,55 +867,80 @@ def _unproject_bwd_kernel_t(m_ref, g_ref, o_ref, *, tile: int,
     y0i = y0.astype(jnp.int32)
 
     g = jnp.where(invalid, 0.0, g_ref[0].astype(jnp.float32))  # (C, TILE)
-    gp = pltpu.repeat(g, width, axis=0)                        # (W*C, TILE)
-
-    ww = (jax.lax.broadcasted_iota(jnp.int32, (wc, tile), 0) // channels)
-    bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
-            + jnp.where(ww == x0i + 1, wx, 0.0))
-    dm_t = (gp * bexp).astype(jnp.bfloat16)                    # (W*C, TILE)
 
     hh = jax.lax.broadcasted_iota(jnp.int32, (height, tile), 0)
     a_t = (jnp.where(hh == y0i, 1.0 - wy, 0.0)
            + jnp.where(hh == y0i + 1, wy, 0.0)).astype(jnp.bfloat16)
 
-    # dM^T @ A^T^T: contract the tile (lane) dim -> (W*C, H).
-    contrib = jax.lax.dot_general(
-        dm_t, a_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def band_contrib(col0, band_w):
+        bwc = band_w * channels
+        gp = pltpu.repeat(g, band_w, axis=0)                   # (bwc, TILE)
+        ww = (jax.lax.broadcasted_iota(jnp.int32, (bwc, tile), 0)
+              // channels + col0)
+        bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
+                + jnp.where(ww == x0i + 1, wx, 0.0))
+        dm_t = (gp * bexp).astype(jnp.bfloat16)                # (bwc, TILE)
+        # dM^T @ A: contract the tile (lane) dim -> (bwc, H).
+        return jax.lax.dot_general(
+            dm_t, a_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(t == 0)
     def _():
-        o_ref[0] = contrib
+        o_ref[0] = jnp.zeros((wc, height), jnp.float32)
 
-    @pl.when(t > 0)
+    c0 = c0_sref[pl.program_id(0), t]
+
+    @pl.when(c0 >= 0)
     def _():
-        o_ref[0] = o_ref[0] + contrib
+        start = pl.multiple_of(c0 * channels, 8)
+        o_ref[0, pl.ds(start, band_width * channels)] += band_contrib(
+            c0, band_width)
+
+    @pl.when(c0 < 0)
+    def _():
+        o_ref[0] += band_contrib(0, width)
 
 
 def _sample_views_grad_features_t(g: jnp.ndarray, affine: jnp.ndarray,
                                   feat_shape, grid_size: int, tile: int,
+                                  band_width: Optional[int],
                                   interpret: bool) -> jnp.ndarray:
     bv, h, wdt, c = feat_shape
     n = grid_size ** 3
     tile = min(tile, n)
+    n_tiles = n // tile
+
+    if band_width is not None and band_width < wdt and tile % grid_size == 0:
+        c0s = _tile_column_bands(affine, grid_size, tile, h, wdt,
+                                 band_width, c, align=1)
+        bw = band_width
+    else:
+        c0s = jnp.full((bv, n_tiles), -1, jnp.int32)
+        bw = wdt
 
     kernel = functools.partial(_unproject_bwd_kernel_t, tile=tile,
                                grid_size=grid_size, height=h, width=wdt,
-                               channels=c)
+                               channels=c, band_width=bw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bv, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, 4), lambda b, t, sref: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, tile), lambda b, t, sref: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, wdt * c, h),
+                               lambda b, t, sref: (b, 0, 0)),
+    )
     df_t = pl.pallas_call(
         kernel,
-        grid=(bv, n // tile),
-        in_specs=[
-            pl.BlockSpec((1, 3, 4), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c, tile), lambda b, t: (b, 0, t)),
-        ],
-        out_specs=pl.BlockSpec((1, wdt * c, h), lambda b, t: (b, 0, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bv, wdt * c, h), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(affine, g)
+    )(c0s, affine, g)
     return jnp.transpose(df_t.reshape(bv, wdt, c, h), (0, 3, 1, 2))
 
 
@@ -942,7 +970,7 @@ def _sample_views_bwd_t(grid_size, tile, band_width, interpret, out_dtype,
     affine, token = res
     feat_shape = (affine.shape[0],) + token.shape[1:]
     df = _sample_views_grad_features_t(g, affine, feat_shape, grid_size,
-                                       tile, interpret)
+                                       tile, band_width, interpret)
     return df.astype(token.dtype), jnp.zeros_like(affine)
 
 

@@ -173,3 +173,34 @@ def test_kernel_bf16_aggregation_dtype(setup):
     scale = float(jnp.abs(g32).max())
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
                                atol=3e-2 * scale, rtol=3e-2)
+
+
+def test_banded_backward_matches_unbanded(setup):
+    """The banded backward (c0 >= 0 path) equals the full-width pass."""
+    import jax
+
+    feats, proj, base, thetas, s = setup
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    b, v = feats.shape[:2]
+    m = jnp.einsum(
+        "bvij,bjk->bvik", proj,
+        jnp.concatenate([affine, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]), (b, 1, 4))], 1))
+    f = feats.reshape(b * v, *feats.shape[2:])
+    mm = m.reshape(b * v, 3, 4)
+    rng = np.random.RandomState(13)
+    w = jnp.asarray(rng.randn(b * v, 8, s ** 3).astype(np.float32))
+
+    def loss(f, band):
+        out = pu.sample_views_affine_t(f, mm, s, 64, band, True)
+        return jnp.sum(out * w)
+
+    h, wdt, c = feats.shape[2:]
+    c0s = np.asarray(pu._tile_column_bands(mm, s, 64, h, wdt, 4, c,
+                                           align=1))
+    assert (c0s >= 0).any(), "no tile fits the band; test would be vacuous"
+
+    g_banded = jax.grad(lambda f: loss(f, 4))(f)     # bands active (4 < W)
+    g_full = jax.grad(lambda f: loss(f, None))(f)    # full-width fallback
+    np.testing.assert_allclose(np.asarray(g_banded), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-4)
