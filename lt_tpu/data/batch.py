@@ -156,10 +156,13 @@ class BatchIterator:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._epoch_sync(epoch):
+                    if stop.is_set():
+                        break
                     q.put(batch)
                 q.put(_END)
             except BaseException as e:  # surface errors on the consumer side
@@ -176,7 +179,11 @@ class BatchIterator:
                     raise item
                 yield item
         finally:
-            # Unblock the producer if the consumer stops early.
+            # Cancel + unblock the producer if the consumer stops early
+            # (n_objects_per_epoch breaks out mid-epoch; without the stop
+            # flag the producer would keep decoding the rest of the epoch
+            # while we drain).
+            stop.set()
             while worker.is_alive():
                 try:
                     q.get_nowait()

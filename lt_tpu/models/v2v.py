@@ -122,8 +122,6 @@ class Conv3D(nn.Module):
 
             w, b = kernel, bias
             if bn_fold is not None:
-                from lt_tpu.models.backbone import BN_EPS
-
                 scale, bn_bias, mean, var = bn_fold
                 w, b = fold_bn(kernel, bias, scale, bn_bias, mean, var,
                                eps=BN_EPS)

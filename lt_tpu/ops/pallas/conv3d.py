@@ -57,7 +57,6 @@ def _row_shift_up(x: jnp.ndarray, delta: int) -> jnp.ndarray:
     """
     if delta == 0:
         return x
-    n = x.shape[0]
     zeros = jnp.zeros((abs(delta),) + x.shape[1:], x.dtype)
     if delta > 0:
         return jnp.concatenate([x[delta:], zeros], axis=0)

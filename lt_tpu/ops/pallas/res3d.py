@@ -46,14 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _row_shift_up(x: jnp.ndarray, delta: int) -> jnp.ndarray:
-    """out[r] = x[r + delta], zero-filled; delta multiple of 8 is vreg-free."""
-    if delta == 0:
-        return x
-    zeros = jnp.zeros((abs(delta),) + x.shape[1:], x.dtype)
-    if delta > 0:
-        return jnp.concatenate([x[delta:], zeros], axis=0)
-    return jnp.concatenate([zeros, x[:delta]], axis=0)
+from lt_tpu.ops.pallas.conv3d import _row_shift_up  # noqa: E402  shared helper
 
 
 def pack_weights_s2(weights: jnp.ndarray) -> jnp.ndarray:

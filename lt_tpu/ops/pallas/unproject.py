@@ -911,7 +911,11 @@ def _sample_views_grad_features_t(g: jnp.ndarray, affine: jnp.ndarray,
     tile = min(tile, n)
     n_tiles = n // tile
 
-    if band_width is not None and band_width < wdt and tile % grid_size == 0:
+    # c % 8 == 0 makes every c0 * c store offset sublane-aligned for the
+    # f32 dF^T output (the pl.multiple_of claim in the kernel would be a
+    # lie otherwise — silently wrong gradients on hardware).
+    if (band_width is not None and band_width < wdt
+            and tile % grid_size == 0 and c % 8 == 0):
         c0s = _tile_column_bands(affine, grid_size, tile, h, wdt,
                                  band_width, c, align=1)
         bw = band_width

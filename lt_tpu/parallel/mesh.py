@@ -66,10 +66,19 @@ _COORDINATOR_ENV_KEYS = (
 
 
 def is_multihost_env() -> bool:
-    """True when the environment describes a multi-host launch."""
+    """True when the environment describes a multi-host launch.
+
+    Heuristics cover the common launchers; ``LT_TPU_MULTIHOST=1`` forces
+    initialization for runtimes the sniff misses (jax.distributed's own
+    auto-detection then takes over).
+    """
     import os
 
+    if os.environ.get("LT_TPU_MULTIHOST"):
+        return True
     if any(k in os.environ for k in _COORDINATOR_ENV_KEYS):
+        return True
+    if int(os.environ.get("SLURM_NTASKS", "1") or "1") > 1:
         return True
     # TPU runtimes export the worker list; a single entry means one host.
     return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
