@@ -205,6 +205,10 @@ class VolumetricTriangulationNet(nn.Module):
         self.process_features = nn.Conv(32, (1, 1), name="process_features",
                                         dtype=self.compute_dtype,
                                         param_dtype=jnp.float32)
+        # Per-block remat only: an outer nested checkpoint around the whole
+        # V2V was measured SLOWER (1015 -> 1400 ms/step at flagship b5) --
+        # the extra full-forward recompute costs more than the padded
+        # boundary saves it avoids.
         self.volume_net = V2VModel(output_channels=self.num_joints,
                                    compute_dtype=self.compute_dtype,
                                    remat=self.remat)
@@ -290,7 +294,7 @@ class VolumetricTriangulationNet(nn.Module):
                 vol_confidences=vol_conf, view_mask=view_mask)
             volumes = jnp.moveaxis(volumes, 1, -1)
 
-        volumes = self.volume_net(volumes, train=train)
+        volumes = self.volume_net(volumes, train)  # positional: remat static arg
 
         # Channels-last soft-argmax avoids transposing the full volume; the
         # (B, J, S, S, S) volumes output (for the CE loss / vis) is produced

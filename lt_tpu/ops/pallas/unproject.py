@@ -734,7 +734,12 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
     else:
         raise ValueError(f"Unknown volume_aggregation_method: {method}")
 
-    # volume is (B, C, N) here (transposed orientation).
+    # volume is (B, C, N) here (transposed orientation).  Emit it in the
+    # aggregation dtype too: it only feeds the V2V net (which computes in
+    # that dtype anyway), and an f32 64^3 volume is a 160 MB tensor that
+    # remat saves at padded layouts in the training backward.
+    if aggregation_dtype is not None:
+        volume = volume.astype(aggregation_dtype)
     if channels_last:
         return volume.swapaxes(1, 2).reshape(
             b, grid_size, grid_size, grid_size, c)
