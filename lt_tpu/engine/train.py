@@ -362,9 +362,29 @@ def _partial_evaluate(dataset, preds, indexes, kind: str = "human36m"):
         "per_pose_error_relative": {"Average": {"Average": scalar}}}
 
 
+def resolve_resume(resume_dir: str, state):
+    """Auto-resume: restore the newest epoch checkpoint of an experiment.
+
+    ``resume_dir`` is a previous experiment directory (or its
+    ``checkpoints/`` subdir); returns ``(state, start_epoch)`` where
+    start_epoch continues after the checkpointed epoch.
+    """
+    cdir = os.path.join(resume_dir, "checkpoints")
+    latest = ckpt.latest_epoch_dir(cdir if os.path.isdir(cdir)
+                                   else resume_dir)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no epoch checkpoints found under {resume_dir}")
+    state = ckpt.restore_checkpoint(latest, state)
+    start_epoch = int(os.path.basename(latest)) + 1
+    print(f"Auto-resumed from {latest} (continuing at epoch "
+          f"{start_epoch}, step {int(state.step)})")
+    return state, start_epoch
+
+
 def run(config_path: str, logdir: str, eval_only: bool = False,
         eval_dataset: str = "val", seed: int = 42,
-        max_epochs: Optional[int] = None):
+        max_epochs: Optional[int] = None, resume_dir: Optional[str] = None):
     """Full driver (train.py:383-478 parity). Returns the final val metric."""
     from lt_tpu.utils.cache import enable_compilation_cache
 
@@ -425,6 +445,10 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         print(f"Resumed train state from {resume_path} "
               f"(step {int(state.step)})")
 
+    start_epoch = 0
+    if resume_dir:
+        state, start_epoch = resolve_resume(resume_dir, state)
+
     train_step = make_train_step(model, model_name, criterion, optimizer,
                                  config)
     eval_step = make_eval_step(model, model_name, criterion, config)
@@ -451,7 +475,7 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         config.opt.n_epochs, max_epochs)
     n_iters_total = 0
     scalar = None
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         state, n_iters_total = train_epoch(
             train_step, state, train_it, epoch, rng, logger, config,
             n_iters_total, config.opt.get("n_iters_per_epoch"),

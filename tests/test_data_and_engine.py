@@ -224,3 +224,48 @@ def test_checkpoint_roundtrip(tmp_path):
     o1 = jax.tree_util.tree_leaves(state.opt_state)
     o2 = jax.tree_util.tree_leaves(restored.opt_state)
     assert len(o1) == len(o2)
+
+
+def test_auto_resume_picks_latest_epoch(tmp_path):
+    """--resume restores the newest epoch checkpoint and continues after it."""
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.engine import checkpoint as ckpt
+    from lt_tpu.engine import factory
+    from lt_tpu.engine.steps import TrainState
+    from lt_tpu.engine.train import resolve_resume
+    from lt_tpu.models.triangulation import AlgebraicTriangulationNet
+    from lt_tpu.utils.cfg import AttrDict
+
+    config = AttrDict({"opt": {"criterion": "MSESmooth", "lr": 1e-3},
+                       "model": {"name": "alg",
+                                 "backbone": {"num_joints": 3,
+                                              "num_layers": 18}}})
+    model = AlgebraicTriangulationNet(num_joints=3, num_layers=18,
+                                      use_confidences=False)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 2, 64, 64, 3).astype(np.float32))
+    proj = jnp.asarray(rng.randn(1, 2, 3, 4).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, proj)
+    optimizer = factory.make_optimizer(config, variables["params"], "alg")
+
+    exp = tmp_path / "experiment"
+    for epoch, step in ((0, 10), (1, 20)):
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           optimizer.init(variables["params"]),
+                           jnp.asarray(step, jnp.int32))
+        d = exp / "checkpoints" / f"{epoch:04}"
+        d.mkdir(parents=True)
+        ckpt.save_checkpoint(str(d), state)
+
+    template = TrainState(variables["params"], variables["batch_stats"],
+                          optimizer.init(variables["params"]),
+                          jnp.asarray(0, jnp.int32))
+    restored, start_epoch = resolve_resume(str(exp), template)
+    assert start_epoch == 2          # continues after epoch 0001
+    assert int(restored.step) == 20  # the newest checkpoint's step
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        resolve_resume(str(tmp_path / "empty"), template)

@@ -19,6 +19,9 @@ def parse_args():
                         choices=("train", "val"))
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--logdir", type=str, default="./logs")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Previous experiment dir: restore its newest "
+                             "epoch checkpoint and continue training")
     parser.add_argument("--max_epochs", type=int, default=None,
                         help="Cap config.opt.n_epochs (smoke runs)")
     return parser.parse_args()
@@ -33,7 +36,7 @@ def main():
 
     run(args.config, args.logdir, eval_only=args.eval,
         eval_dataset=args.eval_dataset, seed=args.seed,
-        max_epochs=args.max_epochs)
+        max_epochs=args.max_epochs, resume_dir=args.resume)
 
 
 if __name__ == "__main__":
