@@ -193,22 +193,40 @@ def build_train_state(config, params, batch_stats) -> tuple:
     return state, optimizer
 
 
-def _device_batch(batch, config):
-    """Prepared numpy batch -> the dict of arrays the steps consume."""
+def _device_batch(batch, config, mesh=None, pad_to: Optional[int] = None):
+    """Prepared numpy batch -> the dict of arrays the steps consume.
+
+    With a ``mesh`` (the DDP replacement, /root/reference/train.py:452-453),
+    every array is device_put with its leading axis sharded over the 'data'
+    axis — replicated params + sharded batch makes XLA insert the gradient
+    all-reduce over ICI.  ``pad_to`` pads a partial batch (eval tail with
+    drop_last=False) up to a static size by repeating the last sample, which
+    keeps shapes static (one compile) and divisible by the mesh; returns
+    ``(device_batch, n_real)`` so callers can trim padded predictions.
+    """
     images, kp_gt, validity, proj, view_mask = prepare_batch(batch)
-    out = {"images": jnp.asarray(images),
-           "keypoints_3d": jnp.asarray(np.concatenate([kp_gt, validity], -1)),
-           "keypoints_validity": jnp.asarray(validity),
-           "proj_matrices": jnp.asarray(proj),
-           "view_mask": jnp.asarray(view_mask)}
+    out = {"images": images,
+           "keypoints_3d": np.concatenate([kp_gt, validity], -1),
+           "keypoints_validity": validity,
+           "proj_matrices": proj,
+           "view_mask": view_mask}
     if "pred_keypoints_3d" in batch:
-        out["pred_keypoints_3d"] = jnp.asarray(batch["pred_keypoints_3d"])
-    return out
+        out["pred_keypoints_3d"] = np.asarray(batch["pred_keypoints_3d"])
+    n_real = int(images.shape[0])
+    if pad_to is not None and n_real < pad_to:
+        pad = pad_to - n_real
+        out = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+               for k, v in out.items()}
+    if mesh is not None:
+        out = mesh_lib.shard_batch(out, mesh)
+    else:
+        out = {k: jnp.asarray(v) for k, v in out.items()}
+    return out, n_real
 
 
 def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
                 config, n_iters_total: int, n_iters_per_epoch=None,
-                vis_step=None):
+                vis_step=None, mesh=None):
     """One training epoch (train.py:154-365, is_train branch)."""
     vis_freq = config.get("vis_freq")
     end = time.time()
@@ -216,7 +234,7 @@ def train_epoch(train_step, state, iterator, epoch: int, rng, logger,
         if n_iters_per_epoch is not None and i >= n_iters_per_epoch:
             break
         data_time = time.time() - end
-        device_batch = _device_batch(batch, config)
+        device_batch, _ = _device_batch(batch, config, mesh=mesh)
         state, metrics = train_step(state, device_batch, rng)
         master = mesh_lib.is_master()
         if master and logger is not None:
@@ -294,14 +312,17 @@ def _log_vis_panels(writer, vis_step, state, batch, device_batch, config,
 
 def eval_epoch(eval_step, state, iterator, config, epoch: int,
                experiment_dir=None, logger=None, dataset=None,
-               n_iters_total: int = 0):
+               n_iters_total: int = 0, mesh=None):
     """One eval epoch + dataset.evaluate + results dump (train.py:337-359)."""
     results = defaultdict(list)
     metric_means = defaultdict(list)
     for batch in iterator.epoch(0):
-        device_batch = _device_batch(batch, config)
+        # Pad the drop_last=False tail batch to the static batch size (and
+        # mesh divisibility); trim the padded predictions right after.
+        device_batch, n_real = _device_batch(batch, config, mesh=mesh,
+                                             pad_to=iterator.batch_size)
         keypoints, metrics = eval_step(state, device_batch)
-        results["keypoints_3d"].append(np.asarray(keypoints))
+        results["keypoints_3d"].append(np.asarray(keypoints)[:n_real])
         results["indexes"].append(np.asarray(batch["indexes"]))
         metrics = jax.device_get(metrics)
         for k, v in metrics.items():
@@ -384,7 +405,8 @@ def resolve_resume(resume_dir: str, state):
 
 def run(config_path: str, logdir: str, eval_only: bool = False,
         eval_dataset: str = "val", seed: int = 42,
-        max_epochs: Optional[int] = None, resume_dir: Optional[str] = None):
+        max_epochs: Optional[int] = None, resume_dir: Optional[str] = None,
+        overrides: Optional[dict] = None):
     """Full driver (train.py:383-478 parity). Returns the final val metric."""
     from lt_tpu.utils.cache import enable_compilation_cache
 
@@ -395,6 +417,8 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     enable_compilation_cache()
 
     config = cfg_lib.load_config(config_path)
+    for k, v in (overrides or {}).items():
+        config[k] = v
     if config.opt.get("n_objects_per_epoch") is not None:
         config.opt.n_iters_per_epoch = (config.opt.n_objects_per_epoch
                                         // config.opt.batch_size)
@@ -420,6 +444,29 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     train_ds, val_ds = make_datasets(config, is_train=need_train)
     val_batch_size = config.opt.get("val_batch_size", config.opt.batch_size)
 
+    # Data-parallel mesh over the available devices (the reference's DDP
+    # wrap, train.py:452-453): params replicated, batches sharded.  The
+    # mesh spans the most devices that evenly divide both batch sizes
+    # (per-device batches must be equal-sized under jax sharding); on one
+    # device this is skipped and arrays are plain device_put.
+    import math
+
+    mesh = None
+    n_devices = len(jax.devices())
+    if n_devices > 1 and config.get("data_parallel", True):
+        n_mesh = math.gcd(math.gcd(config.opt.batch_size, val_batch_size),
+                          n_devices)
+        if n_mesh > 1:
+            mesh = mesh_lib.make_mesh(n_mesh)
+        if n_mesh < n_devices:
+            print(f"warning: batch sizes ({config.opt.batch_size}/"
+                  f"{val_batch_size}) only divide over {n_mesh} of "
+                  f"{n_devices} devices; the rest idle — pick batch sizes "
+                  f"divisible by {n_devices} to use the whole slice")
+        if mesh is not None:
+            print(f"Data-parallel mesh over {n_mesh} devices "
+                  f"({config.opt.batch_size // n_mesh} samples/device)")
+
     train_it = None
     if train_ds is not None:
         train_it = BatchIterator(
@@ -430,7 +477,12 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
                                                        False),
             min_n_views=config.dataset.train.get("min_n_views"),
             max_n_views=config.dataset.train.get("max_n_views"))
-    val_it = BatchIterator(val_ds, val_batch_size, shuffle=False, seed=seed)
+    # drop_last=False: the real evaluator must always see the whole val set
+    # (the per-action/per-subject breakdown, human36m.py:237-273, needs
+    # len(preds) == len(dataset)); the tail batch is padded to a static
+    # shape in eval_epoch instead of dropped.
+    val_it = BatchIterator(val_ds, val_batch_size, shuffle=False,
+                           drop_last=False, seed=seed)
 
     sample_batch = next(val_it.epoch(0))
     params, batch_stats = init_model_state(config, model, sample_batch, seed)
@@ -448,6 +500,9 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     start_epoch = 0
     if resume_dir:
         state, start_epoch = resolve_resume(resume_dir, state)
+
+    if mesh is not None:
+        state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
 
     train_step = make_train_step(model, model_name, criterion, optimizer,
                                  config)
@@ -467,25 +522,29 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         it = train_it if eval_dataset == "train" else val_it
         ds = train_ds if eval_dataset == "train" else val_ds
         scalar, full, _ = eval_epoch(eval_step, state, it, config, 0,
-                                     experiment_dir, logger, ds)
+                                     experiment_dir, logger, ds, mesh=mesh)
         print(f"Eval metric (MPJPE rel, mm): {scalar:.3f}")
         return scalar
 
     n_epochs = config.opt.n_epochs if max_epochs is None else min(
         config.opt.n_epochs, max_epochs)
-    n_iters_total = 0
+    # After --resume, continue the logger step axis where the restored run
+    # left off (state.step counts train iterations) instead of overwriting
+    # the already-written scalars from step 0.
+    n_iters_total = int(state.step)
     scalar = None
     for epoch in range(start_epoch, n_epochs):
         state, n_iters_total = train_epoch(
             train_step, state, train_it, epoch, rng, logger, config,
             n_iters_total, config.opt.get("n_iters_per_epoch"),
-            vis_step=vis_step)
+            vis_step=vis_step, mesh=mesh)
         if profile_dir and epoch == 0:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             profile_dir = None
         scalar, full, _ = eval_epoch(eval_step, state, val_it, config, epoch,
-                                     experiment_dir, logger, val_ds)
+                                     experiment_dir, logger, val_ds,
+                                     mesh=mesh)
         if mesh_lib.is_master() and experiment_dir is not None:
             checkpoint_dir = os.path.join(experiment_dir, "checkpoints",
                                           f"{epoch:04}")

@@ -226,13 +226,15 @@ class GlobalAveragePoolingHead(nn.Module):
         x = _conv(512, 3, 1, 1, use_bias=True, dtype=self.compute_dtype,
                   name="conv1")(x)
         x = BatchNorm(name="bn1")(x, train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if min(x.shape[1:3]) >= 2:  # tiny test inputs: a 2x2 VALID pool on
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))  # 1x1 emits 0x0 -> NaN
         x = nn.relu(x)
 
         x = _conv(256, 3, 1, 1, use_bias=True, dtype=self.compute_dtype,
                   name="conv2")(x)
         x = BatchNorm(name="bn2")(x, train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if min(x.shape[1:3]) >= 2:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.relu(x)
 
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # GAP

@@ -274,17 +274,23 @@ class VolumetricTriangulationNet(nn.Module):
                 base_points, self.cuboid_side, self.volume_size,
                 rotation_thetas, axis=axis,
                 transfer_cmu_to_human36m=self.transfer_cmu_to_human36m)
-            # Inference fuses the cross-view aggregation into the kernel
-            # (no (B, V, N, C) HBM round-trip); training needs the VJP, so
-            # it aggregates in XLA but in the compute dtype — the f32
-            # softmax residual is what kept reference batch-5 training
-            # 0.5 GB over one chip's HBM (ROADMAP "Training memory").
-            agg_dtype = self.compute_dtype if train else None
+            # The cross-view aggregation fuses into the kernel (no
+            # (B, V, N, C) HBM round-trip) for inference AND for training
+            # on softmax/sum without confidences: sample_views_agg's custom
+            # VJP recomputes the per-view samples inside the backward
+            # instead of saving them as a remat residual — the f32 softmax
+            # residual is what kept reference batch-5 training 0.5 GB over
+            # one chip's HBM (ROADMAP "Training memory").  conf/max still
+            # aggregate unfused in the compute dtype when training.
+            fuse = (not train) or (
+                self.volume_aggregation_method in ("softmax", "sum")
+                and vol_conf is None)
+            agg_dtype = self.compute_dtype if (train and not fuse) else None
             volumes = pallas_unproject.unproject_heatmaps_affine(
                 features, proj_hm, grid_affine, self.volume_size,
                 volume_aggregation_method=self.volume_aggregation_method,
                 vol_confidences=vol_conf, view_mask=view_mask,
-                fuse_aggregation=not train,
+                fuse_aggregation=fuse,
                 aggregation_dtype=agg_dtype,
                 channels_last=True)  # kernel scan order IS NDHWC: zero-copy
         else:

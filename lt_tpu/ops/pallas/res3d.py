@@ -194,7 +194,8 @@ def res3d_block_fused(
         w2: jnp.ndarray, b2: jnp.ndarray,
         skip_proj=None,
         tail: Sequence[Tuple[jnp.ndarray, jnp.ndarray, bool]] = (),
-        out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+        out_dtype=None, interpret: bool = False,
+        force_fold: int = None) -> jnp.ndarray:
     """Fused Res3DBlock: relu(bn2(conv2(relu(bn1(conv1(x))))) + skip) [+tail].
 
     Args:
@@ -232,7 +233,11 @@ def res3d_block_fused(
     budget = 56 * 1024 * 1024 * 2 // itemsize
     # fold=1 at large planes: M=YZ rows already fills the MXU pipeline and
     # the batch-boundary-free taps skip 16 of 18 VPU masks per plane pair.
-    fold = 1 if yz >= 4096 else b
+    # ``force_fold`` overrides the heuristic (tests pin the fold=1 mask-free
+    # tap path at small shapes, where interpret mode is cheap).
+    fold = force_fold if force_fold is not None else (
+        1 if yz >= 4096 else b)
+    assert b % fold == 0, (b, fold)
     while fold > 1 and (fold * yz * per_row > budget or b % fold != 0):
         fold -= 1
     groups = b // fold

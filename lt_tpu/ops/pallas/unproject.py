@@ -436,6 +436,76 @@ def _sample_views_agg_impl(features: jnp.ndarray, affine: jnp.ndarray,
     )(c0s, affine, feats_t, mask, conf)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def sample_views_agg(features, m, view_mask, method, grid_size, tile,
+                     band_width, interpret):
+    """Differentiable fused sample + cross-view aggregation.
+
+    Forward is the fused kernel (the (B, V, C, N) sampled tensor never
+    exists in HBM — the dominant training-memory residual at flagship
+    shapes).  Backward recomputes the per-view samples TILE-WISE inside the
+    backward pass (a transient, not a remat residual saved across the whole
+    V2V forward+backward), applies the aggregation VJP in XLA, and pushes
+    the cotangent through the banded transposed gradient kernel.
+
+    Supports 'softmax' and 'sum' (the reference's trained configurations,
+    op.py:149-164); 'conf'/'max' stay on the unfused path.
+    """
+    return _sample_views_agg_impl(features, m, view_mask, None, method,
+                                  grid_size, tile, band_width, interpret)
+
+
+def _agg_fwd(features, m, view_mask, method, grid_size, tile, band_width,
+             interpret):
+    out = _sample_views_agg_impl(features, m, view_mask, None, method,
+                                 grid_size, tile, band_width, interpret)
+    return out, (features, m, view_mask)
+
+
+def _agg_bwd(method, grid_size, tile, band_width, interpret, res, g):
+    features, m, view_mask = res
+    b, v, h, wdt, c = features.shape
+    n = grid_size ** 3
+
+    def sample(f):
+        s = sample_views_affine_t(f.reshape(b * v, h, wdt, c),
+                                  m.reshape(b * v, 3, 4), grid_size, tile,
+                                  band_width, interpret, jnp.bfloat16)
+        return s.reshape(b, v, c, n)
+
+    s, pull = jax.vjp(sample, features)
+    s32 = s.astype(jnp.float32)
+    mask = None
+    if view_mask is not None:
+        mask = (view_mask > 0.0)[:, :, None, None]
+
+    g32 = g.astype(jnp.float32)[:, None]                  # (B, 1, C, N)
+    if method == "softmax":
+        logits = jnp.where(mask, s32, -1e9) if mask is not None else s32
+        wgt = jax.nn.softmax(logits, axis=1)
+        contrib = jnp.where(mask, s32, 0.0) if mask is not None else s32
+        out = (wgt * contrib).sum(axis=1, keepdims=True)
+        # d out / d s_k = w_k * (1 + s_k - out) for valid views (w_k ~ 0
+        # for masked ones).
+        ds = g32 * wgt * (1.0 + contrib - out)
+        if mask is not None:
+            ds = jnp.where(mask, ds, 0.0)
+    elif method == "sum":
+        ds = jnp.broadcast_to(g32, s32.shape)
+        if mask is not None:
+            ds = jnp.where(mask, ds, 0.0)
+    else:
+        raise NotImplementedError(
+            f"fused-aggregation backward not defined for {method!r}")
+
+    (df,) = pull(ds.astype(s.dtype))
+    dmask = None if view_mask is None else jnp.zeros_like(view_mask)
+    return df, jnp.zeros_like(m), dmask
+
+
+sample_views_agg.defvjp(_agg_fwd, _agg_bwd)
+
+
 def _sample_views_fwd_impl(features: jnp.ndarray, affine: jnp.ndarray,
                            grid_size: int, tile: int = 256,
                            band_width: Optional[int] = 16,
@@ -661,8 +731,9 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
       channels_last: if True, return (B, S, S, S, C) — the kernel's native
         voxel scan order, zero-copy into the NDHWC V2V net.
       fuse_aggregation: run the cross-view aggregation inside the kernel —
-        the (B, V, N, C) sampled tensor never exists in HBM.  Inference
-        only (the fused path defines no VJP).
+        the (B, V, N, C) sampled tensor never exists in HBM.  softmax/sum
+        (no confidences) are differentiable via :func:`sample_views_agg`;
+        conf/max remain forward-only.
       aggregation_dtype: optional dtype for the sampled tensor on the
         UNFUSED path (e.g. bfloat16 during training: halves the softmax-
         aggregation residual that dominates big-batch training memory).
@@ -681,11 +752,20 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
 
     n = grid_size ** 3
     if fuse_aggregation:
-        # Fused kernel emits (B, C, N) (transposed orientation).
-        volume = _sample_views_agg_impl(
-            features, m, view_mask, vol_confidences,
-            volume_aggregation_method, grid_size, tile, band_width,
-            interpret)
+        # Fused kernel emits (B, C, N) (transposed orientation).  softmax/
+        # sum without confidences ride the differentiable wrapper (training
+        # never materializes the (B, V, C, N) sampled tensor); conf/max
+        # stay forward-only.
+        if (volume_aggregation_method in ("softmax", "sum")
+                and vol_confidences is None):
+            volume = sample_views_agg(
+                features, m, view_mask, volume_aggregation_method,
+                grid_size, tile, band_width, interpret)
+        else:
+            volume = _sample_views_agg_impl(
+                features, m, view_mask, vol_confidences,
+                volume_aggregation_method, grid_size, tile, band_width,
+                interpret)
         if channels_last:
             return volume.swapaxes(1, 2).reshape(
                 b, grid_size, grid_size, grid_size, c)
@@ -914,6 +994,7 @@ def _sample_views_grad_features_t(g: jnp.ndarray, affine: jnp.ndarray,
     bv, h, wdt, c = feat_shape
     n = grid_size ** 3
     tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
     n_tiles = n // tile
 
     # c % 8 == 0 makes every c0 * c store offset sublane-aligned for the

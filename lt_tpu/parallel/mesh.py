@@ -70,16 +70,26 @@ def is_multihost_env() -> bool:
 
     Heuristics cover the common launchers; ``LT_TPU_MULTIHOST=1`` forces
     initialization for runtimes the sniff misses (jax.distributed's own
-    auto-detection then takes over).
+    auto-detection then takes over) and ``LT_TPU_MULTIHOST=0`` forces it
+    off (e.g. a SLURM allocation whose tasks are data workers, not JAX
+    processes — initialize() would block on a rendezvous that never
+    completes).
     """
     import os
 
-    if os.environ.get("LT_TPU_MULTIHOST"):
-        return True
+    force = os.environ.get("LT_TPU_MULTIHOST")
+    if force is not None and force != "":
+        return force not in ("0", "false", "no")
     if any(k in os.environ for k in _COORDINATOR_ENV_KEYS):
         return True
-    if int(os.environ.get("SLURM_NTASKS", "1") or "1") > 1:
-        return True
+    # SLURM: multiple *nodes* (or step tasks spread over nodes) marks a
+    # real multi-process JAX launch; bare SLURM_NTASKS>1 does not — those
+    # tasks are often dataloader workers on one node.
+    try:
+        if int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or "1") > 1:
+            return True
+    except ValueError:
+        pass
     # TPU runtimes export the worker list; a single entry means one host.
     return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 

@@ -359,3 +359,36 @@ def test_unproject_matches_reference_grid_sample(rng):
             vol_confidences=jnp.asarray(conf)))
         np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3,
                                    err_msg=f"method={method}")
+
+
+def test_bf16_batchnorm_drift_pinned():
+    """Regression threshold for bf16 BN numerics (ADVICE r2): our BatchNorm
+    normalizes in the input dtype (memory lever; PyTorch AMP keeps BN f32),
+    so pin the resulting keypoint drift of a full bf16 backbone forward vs
+    f32 — future dtype changes must not silently compound it."""
+    import jax
+
+    from lt_tpu.models.backbone import PoseResNet
+    from lt_tpu.ops.heatmaps import integrate_tensor_2d
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+
+    def forward(dtype):
+        model = PoseResNet(num_joints=8, num_layers=18,
+                           compute_dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0), images, False)
+        # Shift BN stats off init defaults so the normalize has real work.
+        stats = jax.tree_util.tree_map(lambda a: a, variables["batch_stats"])
+        variables = {"params": variables["params"], "batch_stats": stats}
+        heatmaps, _, _, _ = model.apply(variables, images, False)
+        kp, _ = integrate_tensor_2d(heatmaps.astype(jnp.float32) * 100.0)
+        return np.asarray(kp)
+
+    kp_f32 = forward(jnp.float32)
+    kp_bf16 = forward(jnp.bfloat16)
+    drift = np.abs(kp_bf16 - kp_f32)
+    # Pinned budget in heatmap pixels (16x16 heatmap here): measured
+    # mean 0.047 / max 0.34 on this fixture; ~2-3x headroom before failing.
+    assert drift.mean() < 0.15, drift.mean()
+    assert drift.max() < 0.75, drift.max()

@@ -109,3 +109,17 @@ def test_res3d_fused_with_tail(rng):
     got = res3d_block_fused(x, w1, b1, w2, b2, tail=tail, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_res3d_fused_fold1_mask_free_taps(rng):
+    """fold=1 takes the mask-free dy-shift tap path (the production 64^3
+    configuration, yz >= 4096); pin it at a small shape via force_fold
+    (ADVICE r2: this branch was only reachable at flagship sizes)."""
+    c = 32
+    x, block, variables = _init_res_block(rng, c, side=8, batch=2)
+    ref = block.apply(variables, x, False)
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    got = res3d_block_fused(x, w1, b1, w2, b2, interpret=True, force_fold=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -204,3 +204,38 @@ def test_banded_backward_matches_unbanded(setup):
     g_full = jax.grad(lambda f: loss(f, None))(f)    # full-width fallback
     np.testing.assert_allclose(np.asarray(g_banded), np.asarray(g_full),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["softmax", "sum"])
+def test_fused_aggregation_gradient_matches_unfused(setup, method):
+    """sample_views_agg custom VJP (VERDICT r2 #4): gradients of the fused
+    sample+aggregate kernel vs autodiff through the XLA path, with a masked
+    view."""
+    import jax
+
+    feats, proj, base, thetas, s = setup
+    b = feats.shape[0]
+    mask = jnp.asarray([[1, 1, 0], [1, 1, 1]], jnp.float32)
+    coords = vol_ops.build_coord_volumes(base, 2000.0, s, thetas)
+    affine = vol_ops.coord_volume_affine(base, 2000.0, s, thetas)
+    rng = np.random.RandomState(13)
+    w = jnp.asarray(rng.randn(b, 8, s, s, s).astype(np.float32))
+
+    def loss_fused(f):
+        out = pu.unproject_heatmaps_affine(f, proj, affine, s, method,
+                                           view_mask=mask, tile=64,
+                                           fuse_aggregation=True,
+                                           interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(f):
+        out = vol_ops.unproject_heatmaps(f, proj, coords, method,
+                                         view_mask=mask)
+        return jnp.sum(out * w)
+
+    assert np.isfinite(float(loss_fused(feats)))
+    g1 = jax.grad(loss_fused)(feats)
+    g2 = jax.grad(loss_xla)(feats)
+    scale = float(jnp.abs(g2).max())
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-2 * scale, rtol=1e-2)
