@@ -59,6 +59,52 @@ def _use_pallas_conv3d(kernel: int, features: int, train: bool) -> bool:
             and bool(os.environ.get("LT_TPU_ENABLE_PALLAS_CONV3D")))
 
 
+def conv3d_as_z2d(x, kernel, padding: int, compute_dtype):
+    """A k^3 conv as ONE (k, k) 2D conv: z moves into the batch dim and the
+    k z-shifted slabs stack into input channels.
+
+    XLA's 3D conv picks batch-second-minor padded layouts for the 64^3
+    C<=32 tensors and runs the flagship training step's k7/k3 convs at
+    12-17 TFLOP/s with ~200 ms/step of relayout copies around them
+    (round-3 profile).  Its 2D image-conv path (the same one running the
+    ResNet backbone at ~66 TFLOP/s) gets sane NHWC layouts and a huge
+    effective M = B*Z; the stacked-slab formulation is numerically the
+    same contraction:
+
+        out[b, x, y, z, o] = conv2d_{k x k}(S[b*Z + z], W2)[x, y, o]
+        S[..., kz*C + c] = x_padded[b, x, y, z + kz, c]
+        W2[kx, ky, kz*C + c, o] = W[kx, ky, kz, c, o]
+
+    Fully autodiffable (slab stacking backward = slice-adds; 2D conv
+    grads use XLA's tuned dgrad/wgrad).
+    """
+    k = kernel.shape[0]
+    b, sx, sy, sz, c = x.shape
+    o = kernel.shape[4]
+    p = padding
+    x = x.astype(compute_dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0)))
+    s = jnp.concatenate([xp[:, :, :, i:i + sz, :] for i in range(k)], -1)
+    s = jnp.moveaxis(s, 3, 1).reshape(b * sz, sx, sy, k * c)
+    w2 = kernel.reshape(k, k, k * c, o).astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        s, w2, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.moveaxis(y.reshape(b, sz, sx, sy, o), 1, 3)
+
+
+def _use_z2d_train_conv(train: bool, k: int, z: int) -> bool:
+    """Gate for the z-stacked 2D training conv: the big-Z, narrow-C convs
+    where XLA's 3D path is slowest.  Kill switch: LT_TPU_DISABLE_Z2D=1;
+    LT_TPU_Z2D_MIN_Z overrides the minimum volume depth (default 16;
+    measured 532 vs 543 ms/step flagship b5 against 64)."""
+    import os
+
+    min_z = int(os.environ.get("LT_TPU_Z2D_MIN_Z", "16") or "16")
+    return (train and k in (3, 7) and z >= min_z
+            and not os.environ.get("LT_TPU_DISABLE_Z2D"))
+
+
 def _bn_constants(bn: "BatchNorm", channels: int):
     """Read a BatchNorm child's inference constants for conv folding.
 
@@ -132,7 +178,9 @@ class Conv3D(nn.Module):
 
         assert bn_fold is None and not relu and residual is None, (
             "fused epilogue requires the Pallas fast path")
-        if k < 5 or train:
+        if _use_z2d_train_conv(train, k, x.shape[3]):
+            y = conv3d_as_z2d(x, kernel, self.padding, self.compute_dtype)
+        elif k < 5 or train:
             # Direct conv: for k=3 the z-decomposition's extra HBM traffic
             # (materializing the k*O-channel Q tensor) outweighs its MXU
             # utilization win; only the k=7 front conv nets out ahead — and

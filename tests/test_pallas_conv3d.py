@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from lt_tpu.ops.pallas.conv3d import conv3d_same, fold_bn
 
@@ -78,3 +79,32 @@ def test_fold_bn_exact():
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bf
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 7])
+def test_conv3d_as_z2d_matches_direct(rng, k):
+    """The z-stacked 2D training conv == the direct 3D conv (the flagship
+    training path rides XLA's image-conv implementation, round-3 profile)."""
+    import jax.numpy as jnp
+
+    from lt_tpu.models.v2v import conv3d_as_z2d
+
+    b, s, cin, cout = 2, 8, 6, 5
+    x = jnp.asarray(rng.randn(b, s, s, s, cin), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, k, cin, cout) * 0.1, jnp.float32)
+    p = k // 2
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((p, p),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = conv3d_as_z2d(x, w, p, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients flow (slab-stack backward + 2D conv grads)
+    g = jax.grad(lambda xx: jnp.sum(conv3d_as_z2d(xx, w, p, jnp.float32)
+                                    ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(jax.lax.conv_general_dilated(
+        xx, w, (1, 1, 1), ((p, p),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
