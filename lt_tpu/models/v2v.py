@@ -59,6 +59,21 @@ def _use_pallas_conv3d(kernel: int, features: int, train: bool) -> bool:
             and bool(os.environ.get("LT_TPU_ENABLE_PALLAS_CONV3D")))
 
 
+def _use_mp_conv(kernel: int, train: bool, size_x: int) -> bool:
+    """Gate for the multi-plane k>=5 inference conv (ops/pallas/conv_mp.py).
+
+    The s=2 plane-pair packing gives the k=7 front conv a (M, 2*49*Cin) x
+    (2*49*Cin, 8*Cout) GEMM at 87.5% tap density — measured 12.9 -> 9.2 ms
+    on the flagship front conv vs the z-decomposed XLA path
+    (benchmarks/bench_conv_mp.py).  Kill switch: LT_TPU_DISABLE_CONV_MP=1.
+    """
+    import os
+
+    return (kernel >= 5 and kernel % 2 == 1 and not train
+            and size_x % 2 == 0 and jax.default_backend() == "tpu"
+            and not os.environ.get("LT_TPU_DISABLE_CONV_MP"))
+
+
 def conv3d_as_z2d(x, kernel, padding: int, compute_dtype):
     """A k^3 conv as ONE (k, k) 2D conv: z moves into the batch dim and the
     k z-shifted slabs stack into input channels.
@@ -176,6 +191,21 @@ class Conv3D(nn.Module):
                 b, relu=relu, residual=residual,
                 out_dtype=self.compute_dtype)
 
+        if _use_mp_conv(k, train, x.shape[1]) and residual is None:
+            from lt_tpu.ops.pallas.conv3d import fold_bn
+            from lt_tpu.ops.pallas.conv_mp import conv3d_mp
+
+            w, b = kernel, bias
+            if bn_fold is not None:
+                scale, bn_bias, mean, var = bn_fold
+                w, b = fold_bn(kernel, bias, scale, bn_bias, mean, var,
+                               eps=BN_EPS)
+            if b is None:
+                b = jnp.zeros((self.features,), jnp.float32)
+            return conv3d_mp(
+                x.astype(self.compute_dtype), w.astype(self.compute_dtype),
+                b, s=2, relu=relu, out_dtype=self.compute_dtype)
+
         assert bn_fold is None and not relu and residual is None, (
             "fused epilogue requires the Pallas fast path")
         if _use_z2d_train_conv(train, k, x.shape[3]):
@@ -243,7 +273,8 @@ class Basic3DBlock(nn.Module):
         conv = _conv3d(self.features, self.kernel, (self.kernel - 1) // 2,
                        dtype=self.compute_dtype, name="conv")
         bn = BatchNorm(name="bn")
-        if _use_pallas_conv3d(self.kernel, self.features, train):
+        if (_use_pallas_conv3d(self.kernel, self.features, train)
+                or _use_mp_conv(self.kernel, train, x.shape[1])):
             return conv(x, train, bn_fold=_bn_constants(bn, self.features),
                         relu=True)
         x = conv(x, train)

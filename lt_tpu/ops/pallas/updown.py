@@ -54,8 +54,11 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     yz = size_y * size_z
 
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    # VMEM scratches/blocks are lane-padded to 128 (a (M, 32) f32 scratch
+    # occupies 4x its nominal bytes) — budget with the padded width.
+    c_pad = ((c + 127) // 128) * 128
     fold = b
-    while fold > 1 and (fold * yz * c * 8 * itemsize > 40 * 1024 * 1024
+    while fold > 1 and (fold * yz * c_pad * 8 * itemsize > 40 * 1024 * 1024
                         or b % fold != 0):
         fold -= 1
 
@@ -132,8 +135,10 @@ def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
     yz = size_y * size_z
 
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
-    per_row = (cin * itemsize + 8 * cout * itemsize   # in + out blocks
-               + 2 * cout * 4 + 8 * cout * 4) * 2     # zb + yb scratch, x2
+    cin_pad = ((cin + 127) // 128) * 128
+    cout_pad = ((cout + 127) // 128) * 128
+    per_row = (cin_pad * itemsize + 8 * cout_pad * itemsize  # in/out blocks
+               + 2 * cout_pad * 4 + 8 * cout_pad * 4) * 2    # zb + yb, x2
     fold = b
     while fold > 1 and (fold * yz * per_row > 48 * 1024 * 1024
                         or b % fold != 0):
