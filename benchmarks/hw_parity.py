@@ -87,6 +87,61 @@ case("upsample2x 2^3 128->128")(lambda: _upsample_case(1, 2, 128, 128))
 case("upsample2x 32^3 64->32")(lambda: _upsample_case(1, 32, 64, 32))
 
 
+def _res3d_case(kind, side=16, cin=32, c=32):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, side, side, side, cin) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, cin, c) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 3, c, c) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+    if kind == "q4":
+        from lt_tpu.ops.pallas.res3d_q4 import res3d_block_q4
+
+        fn = lambda x: res3d_block_q4(x, w1, b1, w2, b2)  # noqa: E731
+    else:
+        from lt_tpu.ops.pallas.res3d import res3d_block_fused
+
+        fn = lambda x: res3d_block_fused(  # noqa: E731
+            x, w1, b1, w2, b2, pairs_per_step=2 if kind == "m2" else 1)
+    got = jax.jit(fn)(x)
+
+    def conv(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + b.astype(x.dtype)
+
+    ref = jax.nn.relu(conv(jax.nn.relu(conv(x, w1, b1)), w2, b2) + x)
+    return got, ref, 2e-2
+
+
+for _k in ("m2", "s1", "q4"):
+    case(f"res3d fused [{_k}] 16^3 c32")(lambda k=_k: _res3d_case(k))
+
+
+@case("conv_mp k7 32^3 32->16")
+def _conv_mp_case():
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.ops.pallas.conv_mp import conv3d_mp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 32, 32) * 0.5, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(7, 7, 7, 32, 16) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+    got = jax.jit(lambda x: conv3d_mp(x, w.astype(x.dtype), b, s=2,
+                                      relu=True))(x)
+    ref = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), ((3, 3),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b.astype(x.dtype))
+    return got, ref, 2e-2
+
+
 @case("V2V full (res3d+pool+upsample fused)")
 def _v2v_case():
     import os

@@ -54,53 +54,58 @@ from lt_tpu.ops.pallas.conv3d import _row_shift_up
 def pack_weights_mp(weights: jnp.ndarray, s: int) -> jnp.ndarray:
     """(k, k, k, Cin, Cout) -> (s*k*k*Cin, (s+2h)*Cout) multi-plane matrix.
 
-    Row (pi, dz, dy, ci), column (ob, co): tap kx = pi - ob + 2h (zero
+    Row (dy, dz, pi, ci), column (ob, co): tap kx = pi - ob + 2h (zero
     when out of [0, k-1]); pi indexes the step's s input planes, ob its
-    s + 2h output-plane contributions.
+    s + 2h output-plane contributions.  Row order matches the hierarchical
+    tap tree of :func:`_taps_mp` (dy outermost).
     """
     k, _, _, cin, cout = weights.shape
     h = (k - 1) // 2
     assert k == 2 * h + 1, k
     nb = s + 2 * h
-    w2 = jnp.zeros((s, k, k, cin, nb, cout), weights.dtype)
+    w2 = jnp.zeros((k, k, s, cin, nb, cout), weights.dtype)
     for pi in range(s):
         for ob in range(nb):
             kx = pi - ob + 2 * h
             if 0 <= kx <= k - 1:
-                # rows (dz, dy, ci) <- W[kx, ky=dy, kz=dz]
-                w2 = w2.at[pi, :, :, :, ob, :].set(
-                    jnp.transpose(weights[kx], (1, 0, 2, 3)))
+                # rows (dy, dz, ci) <- W[kx, ky=dy, kz=dz]
+                w2 = w2.at[:, :, pi, :, ob, :].set(weights[kx])
     return w2.reshape(s * k * k * cin, nb * cout)
 
 
 def _taps_mp(planes, *, k: int, size_y: int, size_z: int, rows: int,
              fold: int):
-    """The s*k*k masked (dz, dy) taps of s planes, concatenated on lanes.
+    """The s*k*k masked (dy, dz) taps of s planes, concatenated on lanes.
 
-    Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z).  With
-    ``fold == 1`` the dy shifts cannot cross a batch boundary, so their
-    zero-fill IS the y mask and only dz != 0 bases need a where (the
-    fold=1 mask elision of ops/pallas/res3d.py, generalized to any k).
+    Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z).  Built
+    as a hierarchy — planes -> k dz bases -> k dy shifts — so every shift
+    and mask moves a full-width lane-dense strip instead of one padded
+    (rows, C) plane (Mosaic pads narrow arrays to 128 lanes).  Row order
+    (dy, dz, pi, ci), matching :func:`pack_weights_mp`.
+
+    With ``fold == 1`` the dy shifts cannot cross a batch boundary, so
+    their zero-fill IS the y mask and only dz != 0 levels need a where.
     """
     h = (k - 1) // 2
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     z_of_r = r % size_z
     y_of_r = (r // size_z) % size_y
-    taps = []
-    for plane in planes:
-        for dz in range(-h, h + 1):
-            base = _row_shift_up(plane, dz)
+    pp = jnp.concatenate(list(planes), axis=-1)         # (rows, s*C)
+    bases = []
+    for dz in range(-h, h + 1):
+        base = _row_shift_up(pp, dz)
+        if dz != 0:
             z_ok = (z_of_r + dz >= 0) & (z_of_r + dz < size_z)
-            if fold == 1 and dz != 0:
-                base = jnp.where(z_ok, base, jnp.zeros_like(base))
-            for dy in range(-h, h + 1):
-                t = _row_shift_up(base, dy * size_z)
-                if fold == 1:
-                    taps.append(t)
-                else:
-                    valid = (z_ok & (y_of_r + dy >= 0)
-                             & (y_of_r + dy < size_y))
-                    taps.append(jnp.where(valid, t, jnp.zeros_like(t)))
+            base = jnp.where(z_ok, base, jnp.zeros_like(base))
+        bases.append(base)
+    dk = jnp.concatenate(bases, axis=-1)                # (rows, k*s*C)
+    taps = []
+    for dy in range(-h, h + 1):
+        t = _row_shift_up(dk, dy * size_z)
+        if fold != 1 and dy != 0:
+            y_ok = (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
+            t = jnp.where(y_ok, t, jnp.zeros_like(t))
+        taps.append(t)
     return jnp.concatenate(taps, axis=-1)               # (rows, s*k*k*C)
 
 

@@ -52,21 +52,21 @@ from lt_tpu.ops.pallas.conv3d import _row_shift_up  # noqa: E402  shared helper
 def pack_weights_s2(weights: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, 3, Cin, Cout) -> (18*Cin, 4*Cout) for the s=2 plane-pair matmul.
 
-    Row (pi, dz, dy, ci), column (ob, co): the weight tap with
+    Row (dy, dz, pi, ci), column (ob, co): the weight tap with
     dx = pi - ob + 1 (kx = dx + 1), zero when |dx| > 1.  pi indexes the
     step's two input planes (2j-1, 2j); ob indexes its four output-plane
-    contributions (2j-2 .. 2j+1).
+    contributions (2j-2 .. 2j+1).  The row order matches the hierarchical
+    tap tree of :func:`_taps_pair` (dy outermost).
     """
     k, _, _, cin, cout = weights.shape
     assert k == 3, k
-    w2 = jnp.zeros((2, 3, 3, cin, 4, cout), weights.dtype)
+    w2 = jnp.zeros((3, 3, 2, cin, 4, cout), weights.dtype)
     for pi in range(2):
         for ob in range(4):
             kx = pi - ob + 2
             if 0 <= kx <= 2:
-                # rows (dz, dy, ci) <- W[kx, ky=dy, kz=dz]
-                w2 = w2.at[pi, :, :, :, ob, :].set(
-                    jnp.transpose(weights[kx], (1, 0, 2, 3)))
+                # rows (dy, dz, ci) <- W[kx, ky=dy, kz=dz]
+                w2 = w2.at[:, :, pi, :, ob, :].set(weights[kx])
     return w2.reshape(18 * cin, 4 * cout)
 
 
@@ -77,31 +77,36 @@ def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int,
     Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z); shifts
     that wrap across batch/y boundaries are exactly where the masks zero.
 
+    Built as a hierarchy — pair -> 3 dz bases -> 3 dy shifts — so every
+    shift/mask op moves a full-width strip instead of one 32-lane plane:
+    Mosaic pads narrow arrays to 128 lanes, so 18 separate (rows, C) shifts
+    cost ~4x their nominal bytes while the tree's wide intermediates are
+    lane-dense.  Row order (dy, dz, pi, ci), matching
+    :func:`pack_weights_s2`.
+
     With ``fold == 1`` (one batch sample per step) the dy shifts cannot
     cross a batch boundary, so their zero-fill IS the y mask and only the
-    two dz != 0 bases need a where — 2 VPU mask ops per plane instead
-    of 9 (the single biggest VPU cost in this kernel at 32 channels).
+    dz != 0 levels need a where.
     """
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     z_of_r = r % size_z
     y_of_r = (r // size_z) % size_y
-    taps = []
-    for plane in (p0, p1):
-        for dz in (-1, 0, 1):
-            base = _row_shift_up(plane, dz)
+    pp = jnp.concatenate([p0, p1], axis=-1)               # (rows, 2C)
+    bases = []
+    for dz in (-1, 0, 1):
+        base = _row_shift_up(pp, dz)
+        if dz != 0:
             z_ok = (z_of_r + dz >= 0) & (z_of_r + dz < size_z)
-            if fold == 1 and dz != 0:
-                # Pre-mask the base once; dy shifts of a zeroed row stay
-                # zero, and the plane-edge zero-fill covers the y mask.
-                base = jnp.where(z_ok, base, jnp.zeros_like(base))
-            for dy in (-1, 0, 1):
-                t = _row_shift_up(base, dy * size_z)      # vreg-aligned
-                if fold == 1:
-                    taps.append(t)
-                else:
-                    valid = (z_ok & (y_of_r + dy >= 0)
-                             & (y_of_r + dy < size_y))
-                    taps.append(jnp.where(valid, t, jnp.zeros_like(t)))
+            base = jnp.where(z_ok, base, jnp.zeros_like(base))
+        bases.append(base)
+    d3 = jnp.concatenate(bases, axis=-1)                  # (rows, 6C)
+    taps = []
+    for dy in (-1, 0, 1):
+        t = _row_shift_up(d3, dy * size_z)                # vreg-aligned
+        if fold != 1 and dy != 0:
+            y_ok = (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
+            t = jnp.where(y_ok, t, jnp.zeros_like(t))
+        taps.append(t)
     return jnp.concatenate(taps, axis=-1)                 # (rows, 18*C)
 
 
@@ -188,6 +193,103 @@ def _res3d_kernel(x_a, x_b, x_skip, w1_ref, w2_ref, b1_ref, b2_ref,
     q2k[...] = q2[:, 2 * c:4 * c].astype(q2k.dtype)
 
 
+def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
+                     b1_ref, b2_ref, *rest, batch: int, size_x: int,
+                     yz: int, size_y: int, size_z: int, cin: int, c: int,
+                     tail_relu: Tuple[bool, ...], out_c: int,
+                     skip_proj: bool):
+    """Two plane-pairs per grid step: pair A = (4J-1, 4J), B = (4J+1,
+    4J+2); finalizes a complete quad (4J-4 .. 4J-1) per step.  Halves the
+    step count, the keep-buffer round trips and the finalize overhead per
+    plane vs :func:`_res3d_kernel`; grid = X/4 + 1.
+    """
+    n_tail = len(tail_relu)
+    rest = list(rest)
+    if skip_proj:
+        ws_ref, bs_ref = rest[:2]
+        rest = rest[2:]
+    tail_refs = rest[:2 * n_tail]
+    o_ref, q1k, q2k, r1p = rest[2 * n_tail:]
+    j = pl.program_id(1)
+    rows = batch * yz
+    nq = size_x // 4
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def taps(p0, p1):
+        return _taps_pair(p0, p1, size_y=size_y, size_z=size_z, rows=rows,
+                          fold=batch)
+
+    # ---- conv1 on pairs A = (4J-1, 4J), B = (4J+1, 4J+2) ----
+    pA0 = x_a0[:, 0].reshape(rows, cin)
+    pA1 = x_a1[:, 0].reshape(rows, cin)
+    pB0 = x_b0[:, 0].reshape(rows, cin)
+    pB1 = x_b1[:, 0].reshape(rows, cin)
+    pA0 = jnp.where(j == 0, jnp.zeros_like(pA0), pA0)       # plane 4J-1
+    drain = j >= nq
+    pA1 = jnp.where(drain, jnp.zeros_like(pA1), pA1)        # plane 4J
+    pB0 = jnp.where(drain, jnp.zeros_like(pB0), pB0)        # plane 4J+1
+    pB1 = jnp.where(drain, jnp.zeros_like(pB1), pB1)        # plane 4J+2
+    q1a = dot(taps(pA0, pA1), w1_ref[...])                  # (rows, 4C) f32
+    q1b = dot(taps(pB0, pB1), w1_ref[...])
+
+    # finalize y1 planes (4J-2 .. 4J+1): keep + cross-pair sums + BN1 + ReLU
+    b1 = b1_ref[0]
+    k1 = q1k[...].astype(jnp.float32)
+    k1 = jnp.where(j == 0, jnp.zeros_like(k1), k1)
+    y1 = [
+        jnp.maximum(k1[:, 0:c] + q1a[:, 0:c] + b1, 0.0),            # 4J-2
+        jnp.maximum(k1[:, c:2 * c] + q1a[:, c:2 * c] + b1, 0.0),    # 4J-1
+        jnp.maximum(q1a[:, 2 * c:3 * c] + q1b[:, 0:c] + b1, 0.0),   # 4J
+        jnp.maximum(q1a[:, 3 * c:4 * c] + q1b[:, c:2 * c] + b1,
+                    0.0),                                           # 4J+1
+    ]
+    q1k[...] = q1b[:, 2 * c:4 * c].astype(q1k.dtype)
+
+    # ---- conv2 on y1 pairs A = (4J-3, 4J-2), B = (4J-1, 4J) ----
+    dt = r1p.dtype
+    r0a = r1p[...]                                  # y1 plane 4J-3 (saved)
+    r0a = jnp.where(j < 1, jnp.zeros_like(r0a), r0a)
+    r1a = jnp.where(j < 1, jnp.zeros((rows, c), dt), y1[0].astype(dt))
+    r0b = jnp.where(j < 1, jnp.zeros((rows, c), dt), y1[1].astype(dt))
+    r1b = jnp.where(drain, jnp.zeros((rows, c), dt), y1[2].astype(dt))
+    r1p[...] = y1[3].astype(dt)                     # save plane 4J+1
+    q2a = dot(taps(r0a, r1a), w2_ref[...])
+    q2b = dot(taps(r0b, r1b), w2_ref[...])
+
+    # finalize y2 quad (4J-4 .. 4J-1): BN2 (folded) + skip + ReLU [+ tail]
+    @pl.when(j >= 1)
+    def _():
+        b2 = b2_ref[0]
+        k2 = q2k[...].astype(jnp.float32)
+        vals = [
+            k2[:, 0:c] + q2a[:, 0:c],                       # 4J-4
+            k2[:, c:2 * c] + q2a[:, c:2 * c],               # 4J-3
+            q2a[:, 2 * c:3 * c] + q2b[:, 0:c],              # 4J-2
+            q2a[:, 3 * c:4 * c] + q2b[:, c:2 * c],          # 4J-1
+        ]
+        for m in range(4):
+            sk = x_skip[:, 0, m].reshape(rows, cin)
+            if skip_proj:
+                sk = dot(sk.astype(ws_ref.dtype), ws_ref[...]) + bs_ref[0]
+            else:
+                sk = sk.astype(jnp.float32)
+            out = jnp.maximum(vals[m] + b2 + sk, 0.0)
+            for i, relu_t in enumerate(tail_relu):
+                wt = tail_refs[2 * i][...]
+                bt = tail_refs[2 * i + 1][0]
+                out = dot(out.astype(wt.dtype), wt) + bt
+                if relu_t:
+                    out = jnp.maximum(out, 0.0)
+            o_ref[:, 0, m] = out.astype(o_ref.dtype).reshape(
+                batch, yz, out_c)
+
+    q2k[...] = q2b[:, 2 * c:4 * c].astype(q2k.dtype)
+
+
 def res3d_block_fused(
         x: jnp.ndarray,
         w1: jnp.ndarray, b1: jnp.ndarray,
@@ -195,7 +297,7 @@ def res3d_block_fused(
         skip_proj=None,
         tail: Sequence[Tuple[jnp.ndarray, jnp.ndarray, bool]] = (),
         out_dtype=None, interpret: bool = False,
-        force_fold: int = None) -> jnp.ndarray:
+        force_fold: int = None, pairs_per_step: int = None) -> jnp.ndarray:
     """Fused Res3DBlock: relu(bn2(conv2(relu(bn1(conv1(x))))) + skip) [+tail].
 
     Args:
@@ -207,12 +309,19 @@ def res3d_block_fused(
         (ws (Cin, C), bs (C,)) — the folded 1x1x1 projection skip.
       tail: optional sequence of (w (C_i, C_o), b (C_o,), relu) per-voxel
         matmuls applied after the block (fused Basic3D k=1 / output conv).
+      pairs_per_step: 2 processes two plane-pairs per grid step (X % 4
+        == 0 required), halving step count and keep-buffer round trips;
+        default picks 2 whenever X allows it.
 
     Returns:
       (B, X, Y, Z, C_out) where C_out is the last tail width (or C).
     """
     b, size_x, size_y, size_z, cin = x.shape
     assert size_x % 2 == 0, size_x
+    if pairs_per_step is None:
+        pairs_per_step = 2 if size_x % 4 == 0 else 1
+    assert pairs_per_step in (1, 2), pairs_per_step
+    m2 = pairs_per_step == 2 and size_x % 4 == 0
     yz = size_y * size_z
     c = w1.shape[-1]
     assert skip_proj is not None or cin == c, (cin, c)
@@ -245,25 +354,49 @@ def res3d_block_fused(
     half = size_x // 2
 
     x4 = x.reshape(b, size_x, yz, cin)
-    # 5-D views for the aligned 2-plane skip/output blocks (only the last
-    # two dims may be partially blocked).
-    x5 = x.reshape(b, half, 2, yz, cin)
-
-    in_specs = [
-        pl.BlockSpec((fold, 1, yz, cin),
-                     lambda g, j: (g, jnp.clip(2 * j - 1, 0, size_x - 1),
-                                   0, 0)),
-        pl.BlockSpec((fold, 1, yz, cin),
-                     lambda g, j: (g, jnp.clip(2 * j, 0, size_x - 1), 0, 0)),
-        # skip planes (2j-4, 2j-3) = 2-plane block j-2 (clamped)
-        pl.BlockSpec((fold, 1, 2, yz, cin),
-                     lambda g, j: (g, jnp.clip(j - 2, 0, half - 1), 0, 0, 0)),
+    if m2:
+        nq = size_x // 4
+        # 5-D views for the aligned quad skip/output blocks.
+        x5 = x.reshape(b, nq, 4, yz, cin)
+        in_specs = [
+            pl.BlockSpec((fold, 1, yz, cin),
+                         functools.partial(
+                             lambda d, g, j: (
+                                 g, jnp.clip(4 * j + d, 0, size_x - 1),
+                                 0, 0), d))
+            for d in (-1, 0, 1, 2)
+        ]
+        in_specs += [
+            # skip planes (4J-4 .. 4J-1) = quad block J-1 (clamped)
+            pl.BlockSpec((fold, 1, 4, yz, cin),
+                         lambda g, j: (g, jnp.clip(j - 1, 0, nq - 1),
+                                       0, 0, 0)),
+        ]
+        operands = [x4, x4, x4, x4, x5]
+    else:
+        # 5-D views for the aligned 2-plane skip/output blocks (only the
+        # last two dims may be partially blocked).
+        x5 = x.reshape(b, half, 2, yz, cin)
+        in_specs = [
+            pl.BlockSpec((fold, 1, yz, cin),
+                         lambda g, j: (g, jnp.clip(2 * j - 1, 0, size_x - 1),
+                                       0, 0)),
+            pl.BlockSpec((fold, 1, yz, cin),
+                         lambda g, j: (g, jnp.clip(2 * j, 0, size_x - 1),
+                                       0, 0)),
+            # skip planes (2j-4, 2j-3) = 2-plane block j-2 (clamped)
+            pl.BlockSpec((fold, 1, 2, yz, cin),
+                         lambda g, j: (g, jnp.clip(j - 2, 0, half - 1),
+                                       0, 0, 0)),
+        ]
+        operands = [x4, x4, x5]
+    in_specs += [
         pl.BlockSpec((18 * cin, 4 * c), lambda g, j: (0, 0)),
         pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
         pl.BlockSpec((1, c), lambda g, j: (0, 0)),
         pl.BlockSpec((1, c), lambda g, j: (0, 0)),
     ]
-    operands = [x4, x4, x5, w1p, w2p, b1r, b2r]
+    operands += [w1p, w2p, b1r, b2r]
 
     if skip_proj is not None:
         ws, bs = skip_proj
@@ -284,19 +417,31 @@ def res3d_block_fused(
         ]
 
     kernel = functools.partial(
-        _res3d_kernel, batch=fold, size_x=size_x, yz=yz, size_y=size_y,
-        size_z=size_z, cin=cin, c=c,
+        _res3d_kernel_m2 if m2 else _res3d_kernel, batch=fold,
+        size_x=size_x, yz=yz, size_y=size_y, size_z=size_z, cin=cin, c=c,
         tail_relu=tuple(bool(t[2]) for t in tail),
         out_c=out_c, skip_proj=skip_proj is not None)
 
+    if m2:
+        grid = (groups, size_x // 4 + 1)
+        out_specs = pl.BlockSpec(
+            (fold, 1, 4, yz, out_c),
+            lambda g, j: (g, jnp.clip(j - 1, 0, size_x // 4 - 1), 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct(
+            (b, size_x // 4, 4, yz, out_c), out_dtype)
+    else:
+        grid = (groups, half + 2)
+        out_specs = pl.BlockSpec(
+            (fold, 1, 2, yz, out_c),
+            lambda g, j: (g, jnp.clip(j - 2, 0, half - 1), 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, half, 2, yz, out_c), out_dtype)
+
     out = pl.pallas_call(
         kernel,
-        grid=(groups, half + 2),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (fold, 1, 2, yz, out_c),
-            lambda g, j: (g, jnp.clip(j - 2, 0, half - 1), 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, half, 2, yz, out_c), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((rows, 2 * c), jnp.float32),   # q1 keep
             pltpu.VMEM((rows, 2 * c), jnp.float32),   # q2 keep

@@ -47,11 +47,42 @@ def _pool_kernel(x_a, x_b, o_ref, s1, s2, *, batch: int, yz: int,
     o_ref[:, 0] = b2.reshape(batch, yz // 4, c).astype(o_ref.dtype)
 
 
-def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """MaxPool3d(kernel=2, stride=2) over (B, X, Y, Z, C), all dims even."""
+def _pool_kernel_reshape(x_a, x_b, o_ref, *, batch: int, yz: int,
+                         size_y: int, size_z: int, c: int):
+    # Pair reduction via row shifts + leading-dim split reshapes on VALUES
+    # (both Mosaic-supported): no f32 scratch round trips, stays in the
+    # input dtype end-to-end (max is exact).  Lanes stay C throughout —
+    # narrow-lane sublane->lane merges don't lower on this image.
+    from lt_tpu.ops.pallas.conv3d import _row_shift_up
+
+    rows = batch * yz
+    m = jnp.maximum(x_a[:, 0].reshape(rows, c), x_b[:, 0].reshape(rows, c))
+    # z pairs: rows are (b, y, z) with z fastest; neighbor-max then keep
+    # even z rows via a split reshape.
+    mz = jnp.maximum(m, _row_shift_up(m, 1))
+    a = mz.reshape(rows // 2, 2, c)[:, 0]            # (b*y*z/2, C)
+    # y pairs: adjacent y rows are size_z//2 apart now.
+    my = jnp.maximum(a, _row_shift_up(a, size_z // 2))
+    b2 = my.reshape(batch * size_y // 2, 2, (size_z // 2), c)[:, 0]
+    o_ref[:, 0] = b2.reshape(batch, yz // 4, c).astype(o_ref.dtype)
+
+
+def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False,
+                  impl: str = None) -> jnp.ndarray:
+    """MaxPool3d(kernel=2, stride=2) over (B, X, Y, Z, C), all dims even.
+
+    ``impl``: 'reshape' (default; shift-max + split-reshape decimation,
+    dtype-preserving, no scratch) or 'strided' (the round-2 f32 scratch
+    path; env LT_TPU_POOL_STRIDED=1 forces it as a kill switch).
+    """
+    import os
+
     b, size_x, size_y, size_z, c = x.shape
     assert size_x % 2 == 0 and size_y % 2 == 0 and size_z % 2 == 0, x.shape
     yz = size_y * size_z
+    if impl is None:
+        impl = ("strided" if os.environ.get("LT_TPU_POOL_STRIDED")
+                else "reshape")
 
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
     # VMEM scratches/blocks are lane-padded to 128 (a (M, 32) f32 scratch
@@ -62,8 +93,17 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
                         or b % fold != 0):
         fold -= 1
 
-    kernel = functools.partial(_pool_kernel, batch=fold, yz=yz,
-                               size_y=size_y, size_z=size_z, c=c)
+    if impl == "reshape":
+        kernel = functools.partial(_pool_kernel_reshape, batch=fold, yz=yz,
+                                   size_y=size_y, size_z=size_z, c=c)
+        scratch = []
+    else:
+        kernel = functools.partial(_pool_kernel, batch=fold, yz=yz,
+                                   size_y=size_y, size_z=size_z, c=c)
+        scratch = [
+            pltpu.VMEM((fold * yz, c), jnp.float32),
+            pltpu.VMEM((fold * size_y, size_z // 2, c), jnp.float32),
+        ]
     x4 = x.reshape(b, size_x, yz, c)
     out = pl.pallas_call(
         kernel,
@@ -77,10 +117,7 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
                                lambda g, j: (g, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, size_x // 2, yz // 4, c),
                                        x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((fold * yz, c), jnp.float32),
-            pltpu.VMEM((fold * size_y, size_z // 2, c), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

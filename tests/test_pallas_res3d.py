@@ -111,6 +111,21 @@ def test_res3d_fused_with_tail(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("pairs", [1, 2])
+def test_res3d_fused_pairs_per_step(rng, pairs):
+    """Both schedules (one pair / two pairs per grid step) agree with flax;
+    side=12 exercises non-power-of-two quad counts."""
+    c = 32
+    x, block, variables = _init_res_block(rng, c, side=12, batch=1)
+    ref = block.apply(variables, x, False)
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    got = res3d_block_fused(x, w1, b1, w2, b2, interpret=True,
+                            pairs_per_step=pairs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_res3d_fused_fold1_mask_free_taps(rng):
     """fold=1 takes the mask-free dy-shift tap path (the production 64^3
     configuration, yz >= 4096); pin it at a small shape via force_fold

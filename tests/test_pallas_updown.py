@@ -11,11 +11,12 @@ from lt_tpu.ops.pallas.updown import (max_pool3d_2x, pack_upsample_weights,
                                       upsample3d_2x)
 
 
+@pytest.mark.parametrize("impl", ["reshape", "strided"])
 @pytest.mark.parametrize("shape", [(2, 8, 8, 8, 32), (1, 4, 16, 8, 64)])
-def test_max_pool3d_2x(rng, shape):
+def test_max_pool3d_2x(rng, shape, impl):
     x = jnp.asarray(rng.randn(*shape), jnp.float32)
     ref = pool3d(x)
-    got = max_pool3d_2x(x, interpret=True)
+    got = max_pool3d_2x(x, interpret=True, impl=impl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
 
 
