@@ -195,6 +195,12 @@ class VolumetricTriangulationNet(nn.Module):
     use_pallas_unproject: bool = True
     remat: bool = False
     compute_dtype: Any = jnp.float32
+    #: Optional ``jax.sharding.NamedSharding`` splitting the volume's X axis
+    #: across the mesh (lt_tpu.parallel.spatial.volume_sharding): GSPMD then
+    #: runs one sample's V2V across several chips (halo exchanges + reduced
+    #: soft-argmax inserted by the partitioner).  Single-device Pallas
+    #: kernels gate themselves off when set.
+    volume_axis_sharding: Any = None
 
     def setup(self):
         self.backbone = PoseResNet(
@@ -264,7 +270,8 @@ class VolumetricTriangulationNet(nn.Module):
         # The kernel is differentiable via custom_vjp (backward = transposed
         # row-mix; gradients flow to features, which is exhaustive here:
         # cameras/coordinate volumes are inputs, not parameters).
-        if self.use_pallas_unproject and jax.default_backend() != "cpu":
+        if (self.use_pallas_unproject and jax.default_backend() != "cpu"
+                and self.volume_axis_sharding is None):
             # Fused gather-free kernel (lt_tpu.ops.pallas.unproject): the
             # coordinate volume is affine in the grid index, so the kernel
             # only needs a 3x4 matrix per (batch, view).
@@ -300,7 +307,20 @@ class VolumetricTriangulationNet(nn.Module):
                 vol_confidences=vol_conf, view_mask=view_mask)
             volumes = jnp.moveaxis(volumes, 1, -1)
 
-        volumes = self.volume_net(volumes, train)  # positional: remat static arg
+        if self.volume_axis_sharding is not None:
+            # Spatial sharding (lt_tpu.parallel.spatial): annotate the
+            # volume's X split here and GSPMD partitions the whole V2V —
+            # halo exchanges at slab edges, re-replication of the tiny deep
+            # levels, reduced soft-argmax — with no manual collectives.
+            from lt_tpu.models.v2v import force_xla
+            from lt_tpu.parallel.spatial import constrain_volume
+
+            volumes = constrain_volume(volumes, self.volume_axis_sharding)
+            with force_xla():  # pallas_call is single-device; use XLA convs
+                volumes = self.volume_net(volumes, train)
+            volumes = constrain_volume(volumes, self.volume_axis_sharding)
+        else:
+            volumes = self.volume_net(volumes, train)  # positional remat arg
 
         # Channels-last soft-argmax avoids transposing the full volume; the
         # (B, J, S, S, S) volumes output (for the CE loss / vis) is produced

@@ -25,7 +25,28 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import contextlib
+
 from lt_tpu.models.backbone import BN_EPS, BatchNorm
+
+
+_FORCE_XLA = 0
+
+
+@contextlib.contextmanager
+def force_xla():
+    """Disable every Pallas/z2d fast path within the block (trace-time).
+
+    Used when the volume is spatially sharded over the mesh
+    (lt_tpu.parallel.spatial): GSPMD can partition XLA convs (inserting
+    halo exchanges) but not our single-device pallas_calls.
+    """
+    global _FORCE_XLA
+    _FORCE_XLA += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA -= 1
 
 
 def _use_pallas_res3d(train: bool, size_x: int) -> bool:
@@ -37,7 +58,7 @@ def _use_pallas_res3d(train: bool, size_x: int) -> bool:
     """
     import os
 
-    return (not train and size_x % 2 == 0
+    return (not train and size_x % 2 == 0 and not _FORCE_XLA
             and jax.default_backend() == "tpu"
             and not os.environ.get("LT_TPU_DISABLE_PALLAS_RES3D"))
 
@@ -55,7 +76,7 @@ def _use_pallas_conv3d(kernel: int, features: int, train: bool) -> bool:
     import os
 
     return (kernel == 3 and not train and 3 * features <= 128
-            and jax.default_backend() == "tpu"
+            and jax.default_backend() == "tpu" and not _FORCE_XLA
             and bool(os.environ.get("LT_TPU_ENABLE_PALLAS_CONV3D")))
 
 
@@ -71,6 +92,7 @@ def _use_mp_conv(kernel: int, train: bool, size_x: int) -> bool:
 
     return (kernel >= 5 and kernel % 2 == 1 and not train
             and size_x % 2 == 0 and jax.default_backend() == "tpu"
+            and not _FORCE_XLA
             and not os.environ.get("LT_TPU_DISABLE_CONV_MP"))
 
 
@@ -116,7 +138,7 @@ def _use_z2d_train_conv(train: bool, k: int, z: int) -> bool:
     import os
 
     min_z = int(os.environ.get("LT_TPU_Z2D_MIN_Z", "16") or "16")
-    return (train and k in (3, 7) and z >= min_z
+    return (train and k in (3, 7) and z >= min_z and not _FORCE_XLA
             and not os.environ.get("LT_TPU_DISABLE_Z2D"))
 
 

@@ -233,3 +233,63 @@ def test_multihost_two_process_smoke(tmp_path):
     losses = [float(re.search(r"LOSS ([0-9.eE+-]+)", out).group(1))
               for out in outs]
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_volume_axis_sharding_matches_single_device():
+    """Spatial (volume-X) sharding — lt_tpu/parallel/spatial.py.
+
+    One sample's V2V partitioned over the 8-device mesh by GSPMD (halo
+    exchanges at slab edges, reduced soft-argmax) must reproduce the
+    unsharded forward bit-for-bit-ish; also asserts the volume actually
+    lands sharded (8 distinct device shards on X).
+    """
+    from lt_tpu.models.triangulation import VolumetricTriangulationNet
+    from lt_tpu.parallel.spatial import constrain_volume, volume_sharding
+
+    mesh = mesh_lib.make_mesh(8)
+    sharding = volume_sharding(mesh)
+    kw = dict(num_joints=5, num_layers=18, volume_size=32,
+              cuboid_side=2500.0, volume_aggregation_method="softmax",
+              kind="mpii")
+    model0 = VolumetricTriangulationNet(**kw)
+    model8 = VolumetricTriangulationNet(**kw,
+                                        volume_axis_sharding=sharding)
+
+    rng = np.random.RandomState(0)
+    b, v, image = 1, 2, 64
+    images = rng.randn(b, v, image, image, 3).astype(np.float32)
+    proj = np.zeros((b, v, 3, 4), np.float32)
+    for i in range(v):  # two cameras on a ring looking at the origin
+        ang = 2 * np.pi * i / v + 0.3
+        center = np.array([3000 * np.cos(ang), 3000 * np.sin(ang), 1200.0])
+        z = -center / np.linalg.norm(center)
+        x = np.cross([0.0, 0.0, 1.0], z)
+        x /= np.linalg.norm(x)
+        R = np.stack([x, np.cross(z, x), z])
+        K = np.array([[image * 1.2, 0, image / 2],
+                      [0, image * 1.2, image / 2], [0, 0, 1.0]])
+        proj[:, i] = K @ np.hstack([R, -R @ center.reshape(3, 1)])
+    pelvis = rng.uniform(-200, 200, (b, 5, 3)).astype(np.float32)
+
+    variables = jax.jit(model0.init)(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+        jnp.asarray(images), jnp.asarray(proj), jnp.asarray(pelvis))
+
+    def fwd(model):
+        def f(vs, im, pm, pk):
+            out = model.apply(vs, im, pm, pk, train=False)
+            return out.keypoints_3d, out.volumes
+        return jax.jit(f)
+
+    kp0, _ = fwd(model0)(variables, images, proj, pelvis)
+    kp8, vol8 = fwd(model8)(variables, images, proj, pelvis)
+    np.testing.assert_allclose(np.asarray(kp8), np.asarray(kp0),
+                               rtol=1e-4, atol=1e-3)
+
+    # The annotation must be real: constraining a toy volume through jit
+    # yields 8 device shards along X.
+    toy = jnp.zeros((1, 32, 32, 32, 4), jnp.float32)
+    sharded = jax.jit(lambda t: constrain_volume(t * 2.0, sharding))(toy)
+    assert len(sharded.sharding.device_set) == 8
+    assert sharded.sharding.shard_shape(sharded.shape)[1] == 4  # 32 / 8
