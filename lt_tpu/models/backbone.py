@@ -69,6 +69,58 @@ def _conv(features: int, kernel: int, stride: int = 1, padding: int = 0,
                    param_dtype=jnp.float32)
 
 
+def _use_s2d_stem(h: int, w: int) -> bool:
+    """Gate for the space-to-depth stem (opt-in: LT_TPU_S2D_STEM=1).
+
+    The 7x7/s2 stem convolves 3-channel input — 3 of the MXU's contraction
+    lanes used.  The space-to-depth formulation is the standard TPU fix:
+    2x2 blocks fold into channels (3 -> 12) and the stride-2 k7 becomes a
+    stride-1 k4 over the half-res image with 4x the contraction depth —
+    numerically identical (same taps, zero-padded k7 -> k8 regrouped).
+    Opt-in until measured on-chip.
+    """
+    import os
+
+    return (bool(os.environ.get("LT_TPU_S2D_STEM"))
+            and h % 2 == 0 and w % 2 == 0)
+
+
+class StemConv(nn.Module):
+    """The ResNet 7x7/stride-2 stem (pose_resnet.py:190), s2d-capable.
+
+    Parameter layout is exactly ``nn.Conv``'s ((7, 7, Cin, 64) under
+    'kernel') so reference-checkpoint import and existing state are
+    unaffected by which formulation runs.
+    """
+
+    features: int
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c, self.features), jnp.float32)
+        kernel = kernel.astype(x.dtype)
+        if _use_s2d_stem(h, w):
+            x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, w // 2, 4 * c)
+            # Zero-front-pad k7 -> k8 (output taps x[2i + t - 4], t=0..7),
+            # regroup (ty, tx) = (2qy + ry, 2qx + rx) to a k4 over the s2d
+            # channels ((ry, rx, c) ordering matches x2's flatten above).
+            k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k4 = k8.reshape(4, 2, 4, 2, c, self.features)
+            k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+                4, 4, 4 * c, self.features)
+            return jax.lax.conv_general_dilated(
+                x2, k4, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection skip (pose_resnet.py:25-54)."""
 
@@ -272,7 +324,7 @@ class PoseResNet(nn.Module):
         caffe = self.style == "caffe"
         x = x.astype(self.compute_dtype)
 
-        x = _conv(64, 7, 2, 3, dtype=self.compute_dtype, name="conv1")(x)
+        x = StemConv(64, self.compute_dtype, name="conv1")(x)
         x = BatchNorm(name="bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -392,3 +392,24 @@ def test_bf16_batchnorm_drift_pinned():
     # mean 0.047 / max 0.34 on this fixture; ~2-3x headroom before failing.
     assert drift.mean() < 0.15, drift.mean()
     assert drift.max() < 0.75, drift.max()
+
+
+def test_s2d_stem_matches_direct_conv(monkeypatch):
+    """StemConv's space-to-depth formulation (LT_TPU_S2D_STEM=1) is the
+    SAME convolution: zero-front-padded k7 -> k8 regrouped to k4/s1 over
+    2x2-folded channels.  Exact up to summation order."""
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.models.backbone import StemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 48, 3), jnp.float32)
+    stem = StemConv(8)
+    variables = stem.init(jax.random.PRNGKey(0), x)
+    ref = stem.apply(variables, x)
+    monkeypatch.setenv("LT_TPU_S2D_STEM", "1")
+    got = stem.apply(variables, x)
+    assert got.shape == ref.shape == (2, 16, 24, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
