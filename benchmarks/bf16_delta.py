@@ -36,7 +36,7 @@ def _load_trained(config_path: str, checkpoint_dir: str):
     it = BatchIterator(val_ds, batch_size=config.opt.get(
         "val_batch_size", config.opt.batch_size), shuffle=False,
         drop_last=False)
-    batch = next(iter(it))
+    batch = next(it.epoch(0))
     params, batch_stats = engine.init_model_state(config, model, batch)
     state, _ = engine.build_train_state(config, params, batch_stats)
     state, _ = engine.resolve_resume(checkpoint_dir, state)
