@@ -39,7 +39,7 @@ def rel_err(got, ref) -> float:
     return float(np.abs(got - ref).max()) / scale
 
 
-def _pool_case(shape):
+def _pool_case(shape, impl=None):
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
@@ -48,13 +48,15 @@ def _pool_case(shape):
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
-    got = jax.jit(max_pool3d_2x)(x)
+    got = jax.jit(lambda x: max_pool3d_2x(x, impl=impl))(x)
     ref = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
     return got, ref, 0.0
 
 
 case("pool2x 64^3 c32")(lambda: _pool_case((1, 64, 64, 64, 32)))
 case("pool2x 4^3 c128")(lambda: _pool_case((1, 4, 4, 4, 128)))
+case("pool2x 64^3 c32 [reshape]")(
+    lambda: _pool_case((1, 64, 64, 64, 32), impl="reshape"))
 
 
 def _upsample_case(b, s, cin, cout):

@@ -71,9 +71,11 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False,
                   impl: str = None) -> jnp.ndarray:
     """MaxPool3d(kernel=2, stride=2) over (B, X, Y, Z, C), all dims even.
 
-    ``impl``: 'reshape' (default; shift-max + split-reshape decimation,
-    dtype-preserving, no scratch) or 'strided' (the round-2 f32 scratch
-    path; env LT_TPU_POOL_STRIDED=1 forces it as a kill switch).
+    ``impl``: 'strided' (default; the round-2 f32 scratch path, verified
+    on hardware) or 'reshape' (shift-max + split-reshape decimation,
+    dtype-preserving, no scratch — opt in with LT_TPU_POOL_RESHAPE=1;
+    interpret-parity-tested, pending on-chip Mosaic verification before it
+    becomes the default).
     """
     import os
 
@@ -81,8 +83,8 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False,
     assert size_x % 2 == 0 and size_y % 2 == 0 and size_z % 2 == 0, x.shape
     yz = size_y * size_z
     if impl is None:
-        impl = ("strided" if os.environ.get("LT_TPU_POOL_STRIDED")
-                else "reshape")
+        impl = ("reshape" if os.environ.get("LT_TPU_POOL_RESHAPE")
+                else "strided")
 
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
     # VMEM scratches/blocks are lane-padded to 128 (a (M, 32) f32 scratch
