@@ -20,6 +20,31 @@ def test_max_pool3d_2x(rng, shape, impl):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("shape", [(2, 8, 8, 8, 32), (1, 4, 16, 8, 64),
+                                   (2, 4, 6, 16, 32)])
+def test_max_pool3d_2x_lanes(rng, shape):
+    # max + 0/1 selection matmuls are exact value copies, so lanes must
+    # match the XLA pool bit-for-bit even in bf16.
+    x = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    ref = pool3d(x)
+    got = max_pool3d_2x(x, interpret=True, impl="lanes")
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 32), (128, 64)])
+def test_upsample3d_2x_lanes(rng, cin, cout):
+    b, s = 2, 8
+    x = jnp.asarray(rng.randn(b, s, s, s, cin), jnp.bfloat16)
+    w8 = jnp.asarray(rng.randn(cin, 8 * cout) * 0.1, jnp.float32)
+    bias = jnp.tile(jnp.asarray(rng.randn(cout) * 0.1, jnp.float32), 8)
+    ref = upsample3d_2x(x, w8, bias, interpret=True, impl="strided")
+    got = upsample3d_2x(x, w8, bias, interpret=True, impl="lanes")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_upsample3d_2x(rng):
     b, s, cin, cout = 2, 8, 64, 32
     x = jnp.asarray(rng.randn(b, s, s, s, cin), jnp.float32)
