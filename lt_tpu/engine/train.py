@@ -78,7 +78,9 @@ class MetricLogger:
 
 
 def make_datasets(config, is_train: bool = True):
-    """Dataset factory: 'human36m' (reference parity) or 'synthetic'."""
+    """Dataset factory: 'human36m' (reference parity), 'cmu_panoptic'
+    (beyond-parity; the reference publishes CMU numbers but ships no
+    loader), or 'synthetic'."""
     kind = config.dataset.kind
     if kind == "human36m":
         from lt_tpu.data.human36m import Human36MMultiViewDataset
@@ -101,6 +103,27 @@ def make_datasets(config, is_train: bool = True):
                 crop=split_cfg.get("crop", True))
 
         train_ds = build(config.dataset.train, True, False) if is_train else None
+        val_ds = build(config.dataset.val, False, True)
+        return train_ds, val_ds
+
+    if kind in ("cmu", "cmu_panoptic"):
+        from lt_tpu.data.cmu_panoptic import CMUPanopticMultiViewDataset
+
+        def build(split_cfg, train, test):
+            return CMUPanopticMultiViewDataset(
+                panoptic_root=split_cfg.panoptic_root,
+                sequences=split_cfg.sequences,
+                camera_names=split_cfg.get("camera_names"),
+                n_views=config.dataset.get("n_views", 4),
+                train=train, test=test,
+                retain_every_n_frames=split_cfg.get(
+                    "retain_every_n_frames", 1),
+                image_shape=config.get("image_shape", (256, 256)),
+                scale_bbox=split_cfg.get("scale_bbox", 1.2),
+                crop=split_cfg.get("crop", True))
+
+        train_ds = (build(config.dataset.train, True, False)
+                    if is_train else None)
         val_ds = build(config.dataset.val, False, True)
         return train_ds, val_ds
 
@@ -372,6 +395,8 @@ def _partial_evaluate(dataset, preds, indexes, kind: str = "human36m"):
     if kind == "coco":  # pelvis = midpoint of the hips (vis.py kind tables)
         gt_root = (gt[:, 11:12] + gt[:, 12:13]) / 2.0
         pr_root = (preds[:, 11:12] + preds[:, 12:13]) / 2.0
+    elif kind == "cmu":  # COCO19 bodyCenter
+        gt_root, pr_root = gt[:, 2:3], preds[:, 2:3]
     else:  # human36m/mpii root joint 6 (human36m.py:258-266)
         gt_root, pr_root = gt[:, 6:7], preds[:, 6:7]
     gt_rel = gt - gt_root

@@ -69,12 +69,15 @@ def select_base_points(keypoints_3d: jnp.ndarray, kind: str) -> jnp.ndarray:
 
     Args:
       keypoints_3d: (B, J, >=3) gt or predicted keypoints.
-      kind: 'coco' (mean of joints 11, 12) or 'mpii' (joint 6).
+      kind: 'coco' (mean of joints 11, 12), 'mpii' (joint 6), or 'cmu'
+        (COCO19 bodyCenter, joint 2 — beyond-parity CMU Panoptic support).
     """
     if kind == "coco":
         return (keypoints_3d[:, 11, :3] + keypoints_3d[:, 12, :3]) / 2.0
     if kind == "mpii":
         return keypoints_3d[:, 6, :3]
+    if kind == "cmu":
+        return keypoints_3d[:, 2, :3]
     raise ValueError(f"Unknown kind: {kind}")
 
 
