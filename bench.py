@@ -46,7 +46,10 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for a fast smoke run")
     parser.add_argument("--batch", type=int, default=None)
-    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timed repeats; best is reported (tunnel-noise "
+                             "robust)")
     args = parser.parse_args()
 
     import jax
@@ -98,11 +101,15 @@ def main():
         _sync(out)
     rtt = (time.perf_counter() - t0) / 5
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(variables, images, proj, keypoints)
-    _sync(out)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+    # Best of N repeats: the axon tunnel adds tail latency that a single
+    # timed window inherits; the best window reflects device throughput.
+    dt = float("inf")
+    for _ in range(max(args.repeats, 1)):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = forward(variables, images, proj, keypoints)
+        _sync(out)
+        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9))
 
     fps = batch * args.iters / dt
     result = {
