@@ -259,23 +259,37 @@ def _flagship_case():
             jnp.asarray(images), jnp.asarray(proj), jnp.asarray(keypoints))
 
         def fwd(v, im, pr, kp):
-            return model.apply(v, im, pr, kp, train=False).keypoints_3d
+            out = model.apply(v, im, pr, kp, train=False)
+            return out.keypoints_3d, out.volumes
 
         return jax.jit(fwd)(variables, jnp.asarray(images),
                             jnp.asarray(proj), jnp.asarray(keypoints))
 
-    got = forward(True)
+    kp_f, vol_f = forward(True)
     os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
     os.environ["LT_TPU_DISABLE_PALLAS_UPDOWN"] = "1"
     try:
-        ref = forward(False)
+        kp_x, vol_x = forward(False)
     finally:
         os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D")
         os.environ.pop("LT_TPU_DISABLE_PALLAS_UPDOWN", None)
-    # mm tolerance on world keypoints: both legs are bf16, the only
-    # difference is kernels vs XLA; 64^3 voxel pitch is ~39.7 mm.
-    err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
-    return np.asarray([err]), np.asarray([0.0]), 2.0
+    # Primary assertion: the aggregated V2V output volumes — the direct
+    # kernel outputs — must match XLA to bf16 accumulation tolerance
+    # (measured 0.063 max-rel through 152 ResNet layers + V2V; budget
+    # 0.10).  Keypoints are NOT tight here by construction: random init
+    # weights give diffuse volumes, so the soft-argmax over the 2500 mm
+    # cuboid amplifies bf16-scale volume differences into tens of mm of
+    # mode-hopping (same mechanism as benchmarks/bf16_delta.py, where
+    # TRAINED peaked heatmaps show only ~0.2 mm mean) — keep only a
+    # gross-failure bound of 2 voxel pitches (~79 mm).
+    vol_f = np.asarray(vol_f, np.float32)
+    vol_x = np.asarray(vol_x, np.float32)
+    vol_rel = float(np.abs(vol_f - vol_x).max() / np.abs(vol_x).max())
+    kp_max = float(np.abs(np.asarray(kp_f, np.float32)
+                          - np.asarray(kp_x, np.float32)).max())
+    pitch = 2500.0 / 63.0
+    margins = np.asarray([vol_rel / 0.10, kp_max / (2 * pitch)])
+    return margins, np.zeros_like(margins), 1.0
 
 
 def main():
