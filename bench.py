@@ -35,10 +35,21 @@ def _sync(x):
     np.asarray(leaf.ravel()[0])
 
 # Estimated reference throughput (PyTorch fp32, batch 10 eval) on A100 for
-# the 4-view volumetric pipeline: ResNet-152 @ 384x384 x 4 views + Python
-# per-sample grid_sample loop + V2V over 64^3. ~500 GFLOPs/frame plus the
-# documented host-loop overhead (op.py:106 "TODO: speed up this loop").
+# the 4-view volumetric pipeline. Basis (no A100 in this container, so this
+# is a FLOPs-derived estimate, not a measurement): the pipeline is ~500
+# GFLOP/frame (see the cost-analysis printout below, which measures the
+# exact HLO FLOPs on the compiled graph); A100 TF32 dense peak is 156
+# TFLOP/s, and PyTorch eager conv pipelines typically realize 15-25% MFU,
+# bounding the math at 47-78 fps — but the reference unprojects with a
+# *Python per-sample loop* around grid_sample (op.py:106 "TODO: speed up
+# this loop", ~V*B host dispatches per batch) which serializes the hot
+# path; 25 fps assumes that loop halves-to-thirds the math-bound rate.
+# The printed mfu_pct anchors our own number against physics instead.
 A100_EST_FPS = 25.0
+
+# v5e bf16 dense peak (197 TFLOP/s per chip). Override for other chips.
+TPU_PEAK_FLOPS = float(__import__("os").environ.get(
+    "LT_TPU_PEAK_FLOPS", 197e12))
 
 
 def main():
@@ -47,9 +58,10 @@ def main():
                         help="small shapes for a fast smoke run")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--repeats", type=int, default=3,
-                        help="timed repeats; best is reported (tunnel-noise "
-                             "robust)")
+    parser.add_argument("--repeats", type=int, default=6,
+                        help="timed windows; the median of the best half is "
+                             "reported (tunnel-noise robust AND "
+                             "run-to-run reproducible)")
     args = parser.parse_args()
 
     import jax
@@ -101,22 +113,45 @@ def main():
         _sync(out)
     rtt = (time.perf_counter() - t0) / 5
 
-    # Best of N repeats: the axon tunnel adds tail latency that a single
-    # timed window inherits; the best window reflects device throughput.
-    dt = float("inf")
+    # Median of the best half of N windows: the axon tunnel adds tail
+    # latency that any single window inherits (a plain best-of-N is still a
+    # max-statistic whose value drifts run to run); the median over the
+    # clean windows is both tunnel-robust and reproducible.
+    dts = []
     for _ in range(max(args.repeats, 1)):
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = forward(variables, images, proj, keypoints)
         _sync(out)
-        dt = min(dt, max(time.perf_counter() - t0 - rtt, 1e-9))
+        dts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    dts.sort()
+    best_half = dts[:max(1, len(dts) // 2)]
+    dt = float(np.median(best_half))
 
     fps = batch * args.iters / dt
+
+    # MFU anchor: exact HLO FLOPs of the compiled forward when the compiler
+    # reports them; ~500 GFLOP/frame (ROADMAP FLOPs model) otherwise.
+    flops_per_frame = 500e9
+    try:
+        cost = forward.lower(variables, images, proj,
+                             keypoints).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        reported = float(cost.get("flops", 0.0))
+        if reported > 0:
+            flops_per_frame = reported / batch
+    except Exception:
+        pass
+    mfu_pct = 100.0 * fps * flops_per_frame / TPU_PEAK_FLOPS
+
     result = {
         "metric": "vol_4view_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_EST_FPS, 2),
+        "mfu_pct": round(mfu_pct, 2),
+        "gflops_per_frame": round(flops_per_frame / 1e9, 1),
     }
     print(json.dumps(result))
     return 0

@@ -260,35 +260,71 @@ def _flagship_case():
 
         def fwd(v, im, pr, kp):
             out = model.apply(v, im, pr, kp, train=False)
-            return out.keypoints_3d, out.volumes
+            return out.keypoints_3d, out.volumes, out.coord_volumes
 
         return jax.jit(fwd)(variables, jnp.asarray(images),
                             jnp.asarray(proj), jnp.asarray(keypoints))
 
-    kp_f, vol_f = forward(True)
+    kp_f, vol_f, _ = forward(True)
     os.environ["LT_TPU_DISABLE_PALLAS_RES3D"] = "1"
     os.environ["LT_TPU_DISABLE_PALLAS_UPDOWN"] = "1"
     try:
-        kp_x, vol_x = forward(False)
+        kp_x, vol_x, coords = forward(False)
     finally:
         os.environ.pop("LT_TPU_DISABLE_PALLAS_RES3D")
         os.environ.pop("LT_TPU_DISABLE_PALLAS_UPDOWN", None)
-    # Primary assertion: the aggregated V2V output volumes — the direct
-    # kernel outputs — must match XLA to bf16 accumulation tolerance
-    # (measured 0.063 max-rel through 152 ResNet layers + V2V; budget
-    # 0.10).  Keypoints are NOT tight here by construction: random init
-    # weights give diffuse volumes, so the soft-argmax over the 2500 mm
-    # cuboid amplifies bf16-scale volume differences into tens of mm of
-    # mode-hopping (same mechanism as benchmarks/bf16_delta.py, where
-    # TRAINED peaked heatmaps show only ~0.2 mm mean) — keep only a
-    # gross-failure bound of 2 voxel pitches (~79 mm).
+    # Three assertions, tightest first.  vol_f/vol_x are the POST-SOFTMAX
+    # normalized probability volumes (lt_tpu/ops/heatmaps.py — the raw V2V
+    # outputs only exist pre-softmax inside the model), so the checks are
+    # distribution-level:
+    #
+    # 1. Total-variation distance per (sample, joint): 0.5*sum|p_f - p_x|.
+    #    TV directly bounds the soft-argmax shift (|E_f[x] - E_x[x]| <=
+    #    2*TV*diameter) and, unlike a global-max-normalized max-abs error,
+    #    cannot hide proportionally large errors in low-magnitude voxels.
+    # 2. Windowed soft-argmax, the mm-level keypoint bound: E[coords] over
+    #    a 7^3 window centered on the XLA path's argmax voxel, renormalized.
+    #    Trained models concentrate probability near the peak, so MPJPE
+    #    damage from a kernel regression IS a local expectation shift around
+    #    the mode — this measures exactly that, in mm, while being immune to
+    #    the random-weight mode-hopping that makes the *global* soft-argmax
+    #    over the 2500 mm cuboid meaningless at init (bf16_delta.py: trained
+    #    peaked volumes show ~0.2 mm; random init shows tens of mm).
+    # 3. Gross global keypoint bound of 2 voxel pitches (~79 mm): catches a
+    #    catastrophic kernel failure even if (1)-(2) were somehow fooled.
     vol_f = np.asarray(vol_f, np.float32)
     vol_x = np.asarray(vol_x, np.float32)
-    vol_rel = float(np.abs(vol_f - vol_x).max() / np.abs(vol_x).max())
+    b, j, s = vol_f.shape[:3]
+    tv = 0.5 * np.abs(vol_f - vol_x).reshape(b, j, -1).sum(-1).max()
+
+    coords = np.asarray(coords, np.float32)          # (B, S, S, S, 3)
+    win = 3                                          # 7^3 window
+    kp_win_err = 0.0
+    flat_x = vol_x.reshape(b, j, -1)
+    for bi in range(b):
+        for ji in range(j):
+            cz, cy, cx = np.unravel_index(int(flat_x[bi, ji].argmax()),
+                                          (s, s, s))
+            sl = tuple(slice(max(0, c - win), min(s, c + win + 1))
+                       for c in (cz, cy, cx))
+            cwin = coords[bi][sl].reshape(-1, 3)
+
+            def win_kp(vol):
+                pw = vol[bi, ji][sl].reshape(-1)
+                pw = pw / max(pw.sum(), 1e-12)
+                return (pw[:, None] * cwin).sum(0)
+
+            kp_win_err = max(kp_win_err, float(
+                np.abs(win_kp(vol_f) - win_kp(vol_x)).max()))
+
     kp_max = float(np.abs(np.asarray(kp_f, np.float32)
                           - np.asarray(kp_x, np.float32)).max())
     pitch = 2500.0 / 63.0
-    margins = np.asarray([vol_rel / 0.10, kp_max / (2 * pitch)])
+    # Budgets: TV <= 0.05 (bf16 accumulation through 152 layers + V2V),
+    # windowed keypoint <= 2 mm (the docstring's protection target),
+    # global keypoint <= 2 pitches.
+    margins = np.asarray([tv / 0.05, kp_win_err / 2.0,
+                          kp_max / (2 * pitch)])
     return margins, np.zeros_like(margins), 1.0
 
 

@@ -103,7 +103,7 @@ class BatchIterator:
                  randomize_n_views: bool = False,
                  min_n_views: Optional[int] = None,
                  max_n_views: Optional[int] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 8):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -115,6 +115,8 @@ class BatchIterator:
         self.min_n_views = min_n_views
         self.max_n_views = max_n_views
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -123,8 +125,24 @@ class BatchIterator:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, idxs, rng) -> Optional[Dict]:
-        if hasattr(self.dataset, "get_batch"):
+        # Datasets with a fused native batch loader (H36M fast path) decode
+        # all B*V JPEGs in one C++ thread-pooled call; everything else
+        # (cv2 fallback, CMU, synthetic) decodes per-sample on a thread pool
+        # here — the reference's num_workers analogue for *every* dataset
+        # (/root/reference/train.py:78,107). cv2 releases the GIL in
+        # imread/imdecode, so threads scale.
+        if (getattr(self.dataset, "_fast_path", False)
+                and hasattr(self.dataset, "get_batch")):
             items = self.dataset.get_batch(idxs)
+        elif self.num_workers > 1 and len(idxs) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="lt_tpu_loader")
+            items = list(self._pool.map(
+                lambda i: self.dataset[int(i)], idxs))
         else:
             items = [self.dataset[int(i)] for i in idxs]
         return collate(items, self.randomize_n_views, self.min_n_views,

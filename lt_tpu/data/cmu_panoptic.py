@@ -236,6 +236,11 @@ class CMUPanopticMultiViewDataset:
 
     # -- evaluation ---------------------------------------------------------
 
+    def keypoints_world(self, idx: int) -> np.ndarray:
+        """(J, 3) world-mm GT straight from the table — no image decode
+        (used by partial evaluation, engine/train.py)."""
+        return self.table["keypoints"][idx][:, :3].astype(np.float32)
+
     def evaluate_using_per_pose_error(self, per_pose_error):
         """Average + per-sequence MPJPE breakdown (mirrors the H36M
         evaluator's action/subject split at Panoptic's natural granularity)."""

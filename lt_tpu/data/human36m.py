@@ -276,6 +276,12 @@ class Human36MMultiViewDataset:
 
     # -- evaluation ---------------------------------------------------------
 
+    def keypoints_world(self, idx: int) -> np.ndarray:
+        """(J, 3) world-mm GT straight from the labels table — no image
+        decode (used by partial evaluation, engine/train.py)."""
+        return self.labels["table"][idx]["keypoints"][
+            :self.num_keypoints, :3].astype(np.float32)
+
     def evaluate_using_per_pose_error(self, per_pose_error):
         """Per-action / per-subject score breakdown (human36m.py:191-235)."""
 

@@ -24,8 +24,14 @@ from lt_tpu.models.triangulation import (
 MODEL_NAMES = ("ransac", "alg", "vol")
 
 
-def make_model(config):
-    """Build the configured model family (train.py:400-404)."""
+def make_model(config, mesh=None):
+    """Build the configured model family (train.py:400-404).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` used only when the config sets
+    ``model.volume_axis_sharding: true`` (spatial sharding of the volume's X
+    axis across the mesh, lt_tpu/parallel/spatial.py — a beyond-reference
+    extension; the reference's only strategy is DDP).
+    """
     m = config.model
     name = m.name
     compute_dtype = (jnp.bfloat16 if config.get("bf16", m.get("bf16", False))
@@ -42,6 +48,11 @@ def make_model(config):
             heatmap_multiplier=m.get("heatmap_multiplier", 100.0),
             **common)
     if name == "vol":
+        sharding = None
+        if m.get("volume_axis_sharding") and mesh is not None:
+            from lt_tpu.parallel.spatial import volume_sharding
+
+            sharding = volume_sharding(mesh)
         return VolumetricTriangulationNet(
             remat=bool(config.opt.get("remat", False)),
             volume_aggregation_method=m.get("volume_aggregation_method",
@@ -52,6 +63,7 @@ def make_model(config):
             cuboid_side=m.get("cuboid_side", 2500.0),
             kind=m.get("kind", "mpii"),
             transfer_cmu_to_human36m=m.get("transfer_cmu_to_human36m", False),
+            volume_axis_sharding=sharding,
             **common)
     if name == "ransac":
         return RANSACTriangulationNet(

@@ -100,7 +100,12 @@ def compute_losses(model_name: str, criterion, config, out, batch):
             gt_base = None
         if gt_base is not None:
             diff = (out.base_points - gt_base) * scale
-            metrics["base_point_l2"] = jnp.sqrt((diff ** 2).sum(-1)).mean()
+            # Per-sample weighting: samples with zero valid joints (e.g. the
+            # padded eval tail, engine/train.py _device_batch) are excluded.
+            w = (validity.sum(axis=(1, 2)) > 0.0).astype(jnp.float32)
+            metrics["base_point_l2"] = (
+                jnp.sum(jnp.sqrt((diff ** 2).sum(-1)) * w)
+                / jnp.maximum(w.sum(), 1.0))
 
     metrics["total_loss"] = total
     metrics["l2"] = losses.keypoints_l2_loss(kp_pred * scale, kp_gt * scale,

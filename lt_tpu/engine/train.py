@@ -76,6 +76,16 @@ class MetricLogger:
             self.jsonl.write(json.dumps(record) + "\n")
             self.jsonl.flush()
 
+    def close(self):
+        if self.jsonl is not None:
+            self.jsonl.close()
+            self.jsonl = None
+        if self.writer is not None:
+            try:
+                self.writer.close()
+            except Exception:
+                pass
+
 
 def make_datasets(config, is_train: bool = True):
     """Dataset factory: 'human36m' (reference parity), 'cmu_panoptic'
@@ -240,6 +250,11 @@ def _device_batch(batch, config, mesh=None, pad_to: Optional[int] = None):
         pad = pad_to - n_real
         out = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                for k, v in out.items()}
+        # Padded samples carry zero keypoint validity, so every
+        # validity-normalized loss/metric in compute_losses excludes them
+        # exactly (the keypoints_3d validity column too, for symmetry).
+        out["keypoints_validity"][n_real:] = 0.0
+        out["keypoints_3d"][n_real:, :, 3:] = 0.0
     if mesh is not None:
         out = mesh_lib.shard_batch(out, mesh)
     else:
@@ -348,8 +363,11 @@ def eval_epoch(eval_step, state, iterator, config, epoch: int,
         results["keypoints_3d"].append(np.asarray(keypoints)[:n_real])
         results["indexes"].append(np.asarray(batch["indexes"]))
         metrics = jax.device_get(metrics)
+        # Weight each batch by its real sample count: the padded tail batch
+        # must not count as much as a full batch in the epoch means (its
+        # padded samples are already excluded on-device via zero validity).
         for k, v in metrics.items():
-            metric_means[k].append(float(v))
+            metric_means[k].append((float(v), n_real))
 
     results["keypoints_3d"] = np.concatenate(results["keypoints_3d"], axis=0)
     results["indexes"] = np.concatenate(results["indexes"])
@@ -378,18 +396,26 @@ def eval_epoch(eval_step, state, iterator, config, epoch: int,
         with open(os.path.join(checkpoint_dir, "metric.json"), "w") as f:
             json.dump(full_metric, f, indent=4, sort_keys=True, default=float)
         if logger is not None:
-            epoch_metrics = {k: float(np.mean(v))
-                             for k, v in metric_means.items()}
+            epoch_metrics = {
+                k: float(np.average([x for x, _ in v],
+                                    weights=[w for _, w in v]))
+                for k, v in metric_means.items()}
             epoch_metrics["dataset_metric"] = scalar_metric
             logger.log("val_epoch", epoch_metrics, epoch)
     return scalar_metric, full_metric, results
 
 
 def _partial_evaluate(dataset, preds, indexes, kind: str = "human36m"):
-    """MPJPE over an index subset (used when drop_last trims the tail)."""
+    """MPJPE over an index subset (used when drop_last trims the tail).
+
+    GT comes from ``dataset.keypoints_world`` (the labels table) when
+    available — ``dataset[i]`` would decode all V JPEGs per index just to
+    read keypoints, which at H36M scale means re-decoding the split.
+    """
     gt = np.stack([
-        dataset[int(i)]["keypoints_3d"][:, :3] if not hasattr(
-            dataset, "keypoints_world") else dataset.keypoints_world(int(i))
+        dataset.keypoints_world(int(i)) if hasattr(
+            dataset, "keypoints_world") else
+        dataset[int(i)]["keypoints_3d"][:, :3]
         for i in indexes])
     per_pose = np.sqrt(((gt - preds) ** 2).sum(2)).mean(1)
     if kind == "coco":  # pelvis = midpoint of the hips (vis.py kind tables)
@@ -460,25 +486,36 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    model = factory.make_model(config)
-    criterion = factory.make_criterion(config)
     model_name = config.model.name
-
-    # The train split is also needed for `--eval --eval_dataset train`.
-    need_train = (not eval_only) or eval_dataset == "train"
-    train_ds, val_ds = make_datasets(config, is_train=need_train)
     val_batch_size = config.opt.get("val_batch_size", config.opt.batch_size)
 
-    # Data-parallel mesh over the available devices (the reference's DDP
-    # wrap, train.py:452-453): params replicated, batches sharded.  The
-    # mesh spans the most devices that evenly divide both batch sizes
-    # (per-device batches must be equal-sized under jax sharding); on one
-    # device this is skipped and arrays are plain device_put.
+    # Parallelism over the available devices.  Two driver-reachable modes:
+    #
+    # - Data parallelism (default; the reference's DDP wrap,
+    #   train.py:452-453): params replicated, batches sharded on the leading
+    #   axis over the 'data' mesh.  The mesh spans the most devices that
+    #   evenly divide both batch sizes (per-device batches must be
+    #   equal-sized under jax sharding).
+    # - Spatial sharding (`model.volume_axis_sharding: true`, vol only —
+    #   lt_tpu/parallel/spatial.py): ONE sample's volume is split on its X
+    #   axis over the mesh (GSPMD inserts the conv halo exchanges).  Params
+    #   replicated, batches replicated.  The latency/memory strategy, vs
+    #   data parallelism's throughput strategy.
+    #
+    # On one device both are skipped and arrays are plain device_put.
     import math
 
-    mesh = None
+    mesh = None          # batch-sharding mesh (data parallelism)
+    model_mesh = None    # mesh handed to make_model (spatial sharding)
     n_devices = len(jax.devices())
-    if n_devices > 1 and config.get("data_parallel", True):
+    spatial = bool(config.model.get("volume_axis_sharding")
+                   and model_name == "vol")
+    if n_devices > 1 and spatial:
+        n_mesh = math.gcd(config.model.get("volume_size", 64), n_devices)
+        if n_mesh > 1:
+            model_mesh = mesh_lib.make_mesh(n_mesh)
+            print(f"Spatial (volume-X) sharding over {n_mesh} devices")
+    elif n_devices > 1 and config.get("data_parallel", True):
         n_mesh = math.gcd(math.gcd(config.opt.batch_size, val_batch_size),
                           n_devices)
         if n_mesh > 1:
@@ -491,6 +528,13 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
         if mesh is not None:
             print(f"Data-parallel mesh over {n_mesh} devices "
                   f"({config.opt.batch_size // n_mesh} samples/device)")
+
+    model = factory.make_model(config, mesh=model_mesh)
+    criterion = factory.make_criterion(config)
+
+    # The train split is also needed for `--eval --eval_dataset train`.
+    need_train = (not eval_only) or eval_dataset == "train"
+    train_ds, val_ds = make_datasets(config, is_train=need_train)
 
     train_it = None
     if train_ds is not None:
@@ -528,6 +572,10 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
 
     if mesh is not None:
         state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    elif model_mesh is not None:  # spatial mode: params replicated, the
+        # in-jit with_sharding_constraint splits the volume over the mesh
+        state = jax.device_put(state,
+                               mesh_lib.replicated_sharding(model_mesh))
 
     train_step = make_train_step(model, model_name, criterion, optimizer,
                                  config)
@@ -543,37 +591,41 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     logger = MetricLogger(experiment_dir, writer)
     rng = jax.random.PRNGKey(seed)
 
-    if eval_only:
-        it = train_it if eval_dataset == "train" else val_it
-        ds = train_ds if eval_dataset == "train" else val_ds
-        scalar, full, _ = eval_epoch(eval_step, state, it, config, 0,
-                                     experiment_dir, logger, ds, mesh=mesh)
-        print(f"Eval metric (MPJPE rel, mm): {scalar:.3f}")
-        return scalar
+    try:
+        if eval_only:
+            it = train_it if eval_dataset == "train" else val_it
+            ds = train_ds if eval_dataset == "train" else val_ds
+            scalar, full, _ = eval_epoch(eval_step, state, it, config, 0,
+                                         experiment_dir, logger, ds,
+                                         mesh=mesh)
+            print(f"Eval metric (MPJPE rel, mm): {scalar:.3f}")
+            return scalar
 
-    n_epochs = config.opt.n_epochs if max_epochs is None else min(
-        config.opt.n_epochs, max_epochs)
-    # After --resume, continue the logger step axis where the restored run
-    # left off (state.step counts train iterations) instead of overwriting
-    # the already-written scalars from step 0.
-    n_iters_total = int(state.step)
-    scalar = None
-    for epoch in range(start_epoch, n_epochs):
-        state, n_iters_total = train_epoch(
-            train_step, state, train_it, epoch, rng, logger, config,
-            n_iters_total, config.opt.get("n_iters_per_epoch"),
-            vis_step=vis_step, mesh=mesh)
-        if profile_dir and epoch == 0:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            profile_dir = None
-        scalar, full, _ = eval_epoch(eval_step, state, val_it, config, epoch,
-                                     experiment_dir, logger, val_ds,
-                                     mesh=mesh)
-        if mesh_lib.is_master() and experiment_dir is not None:
-            checkpoint_dir = os.path.join(experiment_dir, "checkpoints",
-                                          f"{epoch:04}")
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            ckpt.save_checkpoint(checkpoint_dir, state)
-        print(f"epoch {epoch}: val MPJPE rel = {scalar:.3f} mm")
-    return scalar
+        n_epochs = config.opt.n_epochs if max_epochs is None else min(
+            config.opt.n_epochs, max_epochs)
+        # After --resume, continue the logger step axis where the restored
+        # run left off (state.step counts train iterations) instead of
+        # overwriting the already-written scalars from step 0.
+        n_iters_total = int(state.step)
+        scalar = None
+        for epoch in range(start_epoch, n_epochs):
+            state, n_iters_total = train_epoch(
+                train_step, state, train_it, epoch, rng, logger, config,
+                n_iters_total, config.opt.get("n_iters_per_epoch"),
+                vis_step=vis_step, mesh=mesh)
+            if profile_dir and epoch == 0:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profile_dir = None
+            scalar, full, _ = eval_epoch(eval_step, state, val_it, config,
+                                         epoch, experiment_dir, logger,
+                                         val_ds, mesh=mesh)
+            if mesh_lib.is_master() and experiment_dir is not None:
+                checkpoint_dir = os.path.join(experiment_dir, "checkpoints",
+                                              f"{epoch:04}")
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                ckpt.save_checkpoint(checkpoint_dir, state)
+            print(f"epoch {epoch}: val MPJPE rel = {scalar:.3f} mm")
+        return scalar
+    finally:
+        logger.close()

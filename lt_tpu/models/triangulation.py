@@ -157,12 +157,20 @@ class AlgebraicTriangulationNet(nn.Module):
         else:
             conf = jnp.ones((b, v, j), jnp.float32)
 
-        if view_mask is not None:
-            conf = conf * view_mask.astype(conf.dtype)[:, :, None]
-
         # Normalize across views + stability floor (triangulation.py:173-174).
-        conf = conf / jnp.maximum(conf.sum(axis=1, keepdims=True), 1e-12)
-        conf = conf + 1e-5
+        # With a view_mask, the floor is applied only to present views: a
+        # masked view then carries *exactly* zero DLT weight, which zeroes its
+        # design-matrix rows — identical to physically dropping the view (the
+        # reference's ragged collate, datasets/utils.py:15-22, never passes
+        # missing views at all).
+        if view_mask is not None:
+            vm = view_mask.astype(conf.dtype)[:, :, None]
+            conf = conf * vm
+            conf = conf / jnp.maximum(conf.sum(axis=1, keepdims=True), 1e-12)
+            conf = conf + 1e-5 * vm
+        else:
+            conf = conf / jnp.maximum(conf.sum(axis=1, keepdims=True), 1e-12)
+            conf = conf + 1e-5
 
         keypoints_2d = _upscale_keypoints(keypoints_2d, heatmap_shape,
                                           image_shape)
@@ -350,7 +358,8 @@ def ransac_triangulate(proj_matrices: jnp.ndarray, points: jnp.ndarray,
                        reprojection_error_epsilon: float = 15.0,
                        direct_optimization: bool = True,
                        n_gn_iters: int = 5,
-                       huber_delta: float = 1.0) -> jnp.ndarray:
+                       huber_delta: float = 1.0,
+                       view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Device-side RANSAC triangulation over all view pairs.
 
     Deterministic, statically shaped replacement for the CPU RANSAC of
@@ -363,6 +372,12 @@ def ransac_triangulate(proj_matrices: jnp.ndarray, points: jnp.ndarray,
     Args:
       proj_matrices: (..., V, 3, 4).
       points: (..., V, 2).
+      view_mask: optional (..., V) view validity. Masked views never form
+        pair candidates, never count as inliers, and carry zero weight in the
+        re-triangulation and GN refinement — output equals physically
+        dropping the view (the reference only ever triangulates over present
+        views: its ragged collate removes missing ones,
+        datasets/utils.py:15-22). Needs >= 2 unmasked views per point.
 
     Returns:
       (..., 3) triangulated points.
@@ -374,6 +389,17 @@ def ransac_triangulate(proj_matrices: jnp.ndarray, points: jnp.ndarray,
     pair_masks = jnp.zeros((len(pairs), v), jnp.float32)
     for pi, (i, k) in enumerate(pairs):
         pair_masks = pair_masks.at[pi, i].set(1.0).at[pi, k].set(1.0)
+
+    if view_mask is not None:
+        vm = jnp.broadcast_to(view_mask.astype(jnp.float32),
+                              points.shape[:-1])         # (..., V)
+        # A pair is admissible iff both of its views are present.
+        bpair = pair_masks.reshape(
+            (len(pairs),) + (1,) * (points.ndim - 2) + (v,))
+        pair_valid = jnp.all(bpair <= vm[None], axis=-1)  # (P, ...)
+    else:
+        vm = None
+        pair_valid = None
 
     def tri_with_weights(w):
         return geometry.triangulate_point_dlt(proj_matrices, points, w)
@@ -393,7 +419,11 @@ def ransac_triangulate(proj_matrices: jnp.ndarray, points: jnp.ndarray,
     inliers = (err < reprojection_error_epsilon).astype(jnp.float32)
     inliers = jnp.maximum(inliers, pair_masks.reshape(
         (len(pairs),) + (1,) * (points.ndim - 2) + (v,)))
+    if vm is not None:
+        inliers = inliers * vm[None]                     # drop masked views
     counts = inliers.sum(axis=-1)                        # (P, ...)
+    if pair_valid is not None:
+        counts = jnp.where(pair_valid, counts, -1.0)     # never pick invalid
 
     best = jnp.argmax(counts, axis=0)                    # (...)
     best_mask = jnp.take_along_axis(
@@ -481,9 +511,12 @@ class RANSACTriangulationNet(nn.Module):
         pts = keypoints_2d.swapaxes(1, 2)                # (B, J, V, 2)
         pm = jnp.broadcast_to(proj_matrices[:, None],
                               (b, j, v, 3, 4))
+        vm = None
+        if view_mask is not None:
+            vm = jnp.broadcast_to(view_mask[:, None, :], (b, j, v))
         keypoints_3d = ransac_triangulate(
             pm, pts, self.reprojection_error_epsilon,
-            self.direct_optimization)
+            self.direct_optimization, view_mask=vm)
 
         confidences = jnp.zeros((b, v, j), jnp.float32)  # plug (:59)
         return RansacOutput(keypoints_3d, keypoints_2d, raw, confidences)

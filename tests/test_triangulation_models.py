@@ -95,10 +95,69 @@ def test_algebraic_view_mask(small_setup):
 
     mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 1]], jnp.float32)
     out = model.apply(variables, images, proj, view_mask=mask)
-    # Masked view's confidence is the 1e-5 floor only.
+    # Masked view's confidence is exactly zero (the 1e-5 floor applies only
+    # to present views), so its DLT rows vanish.
     conf = np.asarray(out.confidences)
-    assert conf[0, 3].max() <= 1.1e-5
+    assert conf[0, 3].max() == 0.0
     assert np.isfinite(np.asarray(out.keypoints_3d)).all()
+
+
+def test_algebraic_view_mask_equals_dropped_view(small_setup):
+    """Masking view k == physically removing it (reference ragged-collate
+    semantics, /root/reference/mvn/datasets/utils.py:15-22)."""
+    images, proj = small_setup
+    model = tri.AlgebraicTriangulationNet(num_joints=5, num_layers=18)
+    variables = model.init(jax.random.PRNGKey(0), images, proj)
+
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 0]], jnp.float32)
+    out_masked = model.apply(variables, images, proj, view_mask=mask)
+    out_dropped = model.apply(variables, images[:, :3], proj[:, :3])
+    np.testing.assert_allclose(np.asarray(out_masked.keypoints_3d),
+                               np.asarray(out_dropped.keypoints_3d),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_ransac_view_mask_equals_dropped_view(rng):
+    """ransac_triangulate with a masked view == calling it without the view."""
+    proj, *_ = make_synthetic_cameras(5, rng)
+    pts3d = rng.uniform(-300, 300, size=(6, 3)).astype(np.float32)
+    pts2d = np.asarray(geometry.project_points(
+        jnp.asarray(proj), jnp.asarray(pts3d)[None])).swapaxes(0, 1)
+    noisy = (pts2d + rng.randn(*pts2d.shape).astype(np.float32) * 2.0)
+    # Masked view 2 carries garbage points + identity-ish projection, like a
+    # missing H36M view after static-shape collate (data/human36m.py:150).
+    noisy_bad = noisy.copy()
+    noisy_bad[:, 2] = 1e4
+    pm_bad = np.broadcast_to(proj, (6, 5, 3, 4)).copy()
+    pm_bad[:, 2] = np.eye(3, 4, dtype=np.float32)
+
+    keep = [0, 1, 3, 4]
+    mask = np.zeros((6, 5), np.float32)
+    mask[:, keep] = 1.0
+
+    for opt in (False, True):
+        rec_masked = np.asarray(tri.ransac_triangulate(
+            jnp.asarray(pm_bad), jnp.asarray(noisy_bad),
+            direct_optimization=opt, view_mask=jnp.asarray(mask)))
+        rec_dropped = np.asarray(tri.ransac_triangulate(
+            jnp.asarray(pm_bad[:, keep]), jnp.asarray(noisy_bad[:, keep]),
+            direct_optimization=opt))
+        np.testing.assert_allclose(rec_masked, rec_dropped,
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_ransac_model_view_mask_equals_dropped_view(small_setup):
+    images, proj = small_setup
+    model = tri.RANSACTriangulationNet(num_joints=5, num_layers=18,
+                                       direct_optimization=False)
+    variables = model.init(jax.random.PRNGKey(0), images, proj)
+
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 0]], jnp.float32)
+    out_masked = model.apply(variables, images, proj, view_mask=mask)
+    out_dropped = model.apply(variables, images[:, :3], proj[:, :3])
+    np.testing.assert_allclose(np.asarray(out_masked.keypoints_3d),
+                               np.asarray(out_dropped.keypoints_3d),
+                               rtol=1e-5, atol=1e-3)
 
 
 def test_volumetric_forward_shapes(small_setup):
