@@ -216,12 +216,18 @@ class RepeatedBlock(nn.Module):
 def _scan_repeat(block_kind: str, planes: int, caffe: bool, train: bool,
                  compute_dtype, length: int, name: str,
                  remat: bool = False):
+    import os
+
     body = nn.remat(RepeatedBlock) if remat else RepeatedBlock
+    # LT_TPU_SCAN_UNROLL=k unrolls k block bodies per loop step: XLA can
+    # then fuse/pipeline across block boundaries (longer compile, cached).
+    unroll = int(os.environ.get("LT_TPU_SCAN_UNROLL", "1") or "1")
     scanned = nn.scan(
         body,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         length=length,
+        unroll=min(max(unroll, 1), length),
     )
     return scanned(block_kind=block_kind, planes=planes, caffe_style=caffe,
                    train=train, compute_dtype=compute_dtype, name=name)

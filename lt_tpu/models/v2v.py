@@ -311,9 +311,15 @@ class Res3DBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, tail=()):
+    def __call__(self, x, train: bool, tail=(), emit_pooled: bool = False):
         """``tail``: optional ((w, b, relu), ...) per-voxel matmuls fused
-        after the block on the Pallas inference path (V2V back section)."""
+        after the block on the Pallas inference path (V2V back section).
+
+        ``emit_pooled``: also return ``MaxPool3d(2)(x)`` — computed inside
+        the fused kernel from the already-resident input blocks on the
+        Pallas path (the encoder's ``skip = res(x); x = pool(x)`` pattern,
+        v2v.py:73-84), as a plain pooling op otherwise.  Returns
+        ``(out, pooled)`` when set."""
         conv1 = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
                         name="conv1")
         bn1 = BatchNorm(name="bn1")
@@ -358,10 +364,15 @@ class Res3DBlock(nn.Module):
                                  *_bn_constants(sbn, self.features),
                                  eps=BN_EPS)
                 skip_proj = (ws.reshape(cin, self.features), bs)
-            return res3d_block_fused(
+            want_pool = (emit_pooled and x.shape[1] % 4 == 0
+                         and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+            r = res3d_block_fused(
                 x.astype(self.compute_dtype), w1, b1, w2, b2,
                 skip_proj=skip_proj, tail=tail,
-                out_dtype=self.compute_dtype)
+                out_dtype=self.compute_dtype, emit_pooled=want_pool)
+            if emit_pooled and not want_pool:
+                return r, pool3d(x, train=train)
+            return r
 
         assert not tail, "tail fusion requires the Pallas res3d path"
         if _use_pallas_conv3d(3, self.features, train):
@@ -370,16 +381,22 @@ class Res3DBlock(nn.Module):
             skip = skip_branch().astype(self.compute_dtype)
             res = conv1(x, train, bn_fold=_bn_constants(bn1, self.features),
                         relu=True)
-            return conv2(res, train,
-                         bn_fold=_bn_constants(bn2, self.features),
-                         relu=True, residual=skip)
+            out = conv2(res, train,
+                        bn_fold=_bn_constants(bn2, self.features),
+                        relu=True, residual=skip)
+            if emit_pooled:
+                return out, pool3d(x, train=train)
+            return out
 
         res = conv1(x, train)
         res = bn1(res, train)
         res = nn.relu(res)
         res = conv2(res, train)
         res = bn2(res, train)
-        return nn.relu(res + skip_branch())
+        out = nn.relu(res + skip_branch())
+        if emit_pooled:
+            return out, pool3d(x, train=train)
+        return out
 
 
 def _use_pallas_updown(train: bool, size_x: int) -> bool:
@@ -413,7 +430,10 @@ class Upsample3DBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, skip=None):
+        """``skip``: optional residual of the OUTPUT shape added after the
+        ReLU (the decoder's ``up(x) + skip``, v2v.py:126-136) — fused into
+        the kernel's finalize on the Pallas path."""
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (2, 2, 2, self.features, in_features),
@@ -431,7 +451,10 @@ class Upsample3DBlock(nn.Module):
             scale, bn_bias, mean, var = _bn_constants(bn, self.features)
             w8, b8 = pack_upsample_weights(kernel, bias, scale, bn_bias,
                                            mean, var, eps=BN_EPS)
-            return upsample3d_2x(x.astype(self.compute_dtype), w8, b8)
+            sk = (None if skip is None
+                  else skip.astype(self.compute_dtype))
+            return upsample3d_2x(x.astype(self.compute_dtype), w8, b8,
+                                 skip=sk)
 
         pad = 2 - 1 - 0  # k - 1 - p
         y = jax.lax.conv_transpose(
@@ -441,7 +464,10 @@ class Upsample3DBlock(nn.Module):
             transpose_kernel=True)
         y = y + bias.astype(y.dtype)
         y = bn(y, train)
-        return nn.relu(y)
+        y = nn.relu(y)
+        if skip is not None:
+            y = y + skip.astype(y.dtype)
+        return y
 
 
 class EncoderDecoder(nn.Module):
@@ -452,39 +478,44 @@ class EncoderDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt = self.compute_dtype
-        skip1 = Res3DBlock(32, dt, name="skip_res1")(x, train)
-        x = pool3d(x, train=train)
+        # Encoder levels: `skip = res(x); x = pool(x)` — the skip block
+        # emits the pooled tensor from its own kernel (emit_pooled), so
+        # each level's pool costs no separate HBM pass on the Pallas path.
+        skip1, x = Res3DBlock(32, dt, name="skip_res1")(
+            x, train, emit_pooled=True)
         x = Res3DBlock(64, dt, name="encoder_res1")(x, train)
-        skip2 = Res3DBlock(64, dt, name="skip_res2")(x, train)
-        x = pool3d(x, train=train)
+        skip2, x = Res3DBlock(64, dt, name="skip_res2")(
+            x, train, emit_pooled=True)
         x = Res3DBlock(128, dt, name="encoder_res2")(x, train)
-        skip3 = Res3DBlock(128, dt, name="skip_res3")(x, train)
-        x = pool3d(x, train=train)
+        skip3, x = Res3DBlock(128, dt, name="skip_res3")(
+            x, train, emit_pooled=True)
         x = Res3DBlock(128, dt, name="encoder_res3")(x, train)
-        skip4 = Res3DBlock(128, dt, name="skip_res4")(x, train)
-        x = pool3d(x, train=train)
+        skip4, x = Res3DBlock(128, dt, name="skip_res4")(
+            x, train, emit_pooled=True)
         x = Res3DBlock(128, dt, name="encoder_res4")(x, train)
-        skip5 = Res3DBlock(128, dt, name="skip_res5")(x, train)
-        x = pool3d(x, train=train)
+        skip5, x = Res3DBlock(128, dt, name="skip_res5")(
+            x, train, emit_pooled=True)
         x = Res3DBlock(128, dt, name="encoder_res5")(x, train)
 
         x = Res3DBlock(128, dt, name="mid_res")(x, train)
 
+        # Decoder levels: the `up(x) + skip` residual adds fuse into the
+        # upsample kernels' finalize.
         x = Res3DBlock(128, dt, name="decoder_res5")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample5")(x, train)
-        x = x + skip5
+        x = Upsample3DBlock(128, dt, name="decoder_upsample5")(x, train,
+                                                               skip5)
         x = Res3DBlock(128, dt, name="decoder_res4")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample4")(x, train)
-        x = x + skip4
+        x = Upsample3DBlock(128, dt, name="decoder_upsample4")(x, train,
+                                                               skip4)
         x = Res3DBlock(128, dt, name="decoder_res3")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample3")(x, train)
-        x = x + skip3
+        x = Upsample3DBlock(128, dt, name="decoder_upsample3")(x, train,
+                                                               skip3)
         x = Res3DBlock(128, dt, name="decoder_res2")(x, train)
-        x = Upsample3DBlock(64, dt, name="decoder_upsample2")(x, train)
-        x = x + skip2
+        x = Upsample3DBlock(64, dt, name="decoder_upsample2")(x, train,
+                                                              skip2)
         x = Res3DBlock(64, dt, name="decoder_res1")(x, train)
-        x = Upsample3DBlock(32, dt, name="decoder_upsample1")(x, train)
-        x = x + skip1
+        x = Upsample3DBlock(32, dt, name="decoder_upsample1")(x, train,
+                                                              skip1)
         return x
 
 

@@ -71,7 +71,7 @@ def pack_weights_s2(weights: jnp.ndarray) -> jnp.ndarray:
 
 
 def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int,
-               fold: int = 0):
+               fold: int = 0, split_dy: bool = False):
     """The 18 masked (dy, dz) taps of a plane pair, concatenated on lanes.
 
     Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z); shifts
@@ -87,6 +87,10 @@ def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int,
     With ``fold == 1`` (one batch sample per step) the dy shifts cannot
     cross a batch boundary, so their zero-fill IS the y mask and only the
     dz != 0 levels need a where.
+
+    ``split_dy=True`` returns the 3 per-dy strips (rows, 6C) unconcatenated
+    so the caller can accumulate three K=6C dots instead of one K=18C dot —
+    skipping the materialization of the (rows, 18C) concat.
     """
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     z_of_r = r % size_z
@@ -107,6 +111,8 @@ def _taps_pair(p0, p1, *, size_y: int, size_z: int, rows: int,
             y_ok = (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
             t = jnp.where(y_ok, t, jnp.zeros_like(t))
         taps.append(t)
+    if split_dy:
+        return taps
     return jnp.concatenate(taps, axis=-1)                 # (rows, 18*C)
 
 
@@ -197,11 +203,19 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
                      b1_ref, b2_ref, *rest, batch: int, size_x: int,
                      yz: int, size_y: int, size_z: int, cin: int, c: int,
                      tail_relu: Tuple[bool, ...], out_c: int,
-                     skip_proj: bool):
+                     skip_proj: bool, dy_accum: bool = False,
+                     emit_pooled: bool = False):
     """Two plane-pairs per grid step: pair A = (4J-1, 4J), B = (4J+1,
     4J+2); finalizes a complete quad (4J-4 .. 4J-1) per step.  Halves the
     step count, the keep-buffer round trips and the finalize overhead per
     plane vs :func:`_res3d_kernel`; grid = X/4 + 1.
+
+    ``emit_pooled``: also writes MaxPool3d(2)(x) as a second output — the
+    V2V encoder pools the SAME tensor the skip block consumes
+    (v2v.py:73-84: ``skipN = skip_res(x); x = pool(x)``), and the input
+    quad is already resident as the skip block, so the pooled planes cost
+    two in-VMEM pair-max + decimation passes instead of a separate kernel
+    launch re-reading the full volume from HBM.
     """
     n_tail = len(tail_relu)
     rest = list(rest)
@@ -209,7 +223,10 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
         ws_ref, bs_ref = rest[:2]
         rest = rest[2:]
     tail_refs = rest[:2 * n_tail]
-    o_ref, q1k, q2k, r1p = rest[2 * n_tail:]
+    if emit_pooled:
+        o_ref, po_ref, q1k, q2k, r1p = rest[2 * n_tail:]
+    else:
+        o_ref, q1k, q2k, r1p = rest[2 * n_tail:]
     j = pl.program_id(1)
     rows = batch * yz
     nq = size_x // 4
@@ -219,9 +236,21 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
             lhs, rhs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def taps(p0, p1):
-        return _taps_pair(p0, p1, size_y=size_y, size_z=size_z, rows=rows,
-                          fold=batch)
+    def conv_pair(p0, p1, w_ref, ch):
+        """Tap tree + GEMM for one plane pair against one weight ref.
+
+        ``dy_accum``: three K=6C dots accumulated instead of one K=18C dot
+        — the (rows, 18C) tap concat is never materialized (one less
+        full-width VPU copy level per pair).
+        """
+        strips = _taps_pair(p0, p1, size_y=size_y, size_z=size_z,
+                            rows=rows, fold=batch, split_dy=dy_accum)
+        if not dy_accum:
+            return dot(strips, w_ref[...])
+        acc = dot(strips[0], w_ref[0:6 * ch, :])
+        for i in (1, 2):
+            acc = acc + dot(strips[i], w_ref[6 * ch * i:6 * ch * (i + 1), :])
+        return acc
 
     # ---- conv1 on pairs A = (4J-1, 4J), B = (4J+1, 4J+2) ----
     pA0 = x_a0[:, 0].reshape(rows, cin)
@@ -233,8 +262,8 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
     pA1 = jnp.where(drain, jnp.zeros_like(pA1), pA1)        # plane 4J
     pB0 = jnp.where(drain, jnp.zeros_like(pB0), pB0)        # plane 4J+1
     pB1 = jnp.where(drain, jnp.zeros_like(pB1), pB1)        # plane 4J+2
-    q1a = dot(taps(pA0, pA1), w1_ref[...])                  # (rows, 4C) f32
-    q1b = dot(taps(pB0, pB1), w1_ref[...])
+    q1a = conv_pair(pA0, pA1, w1_ref, cin)                  # (rows, 4C) f32
+    q1b = conv_pair(pB0, pB1, w1_ref, cin)
 
     # finalize y1 planes (4J-2 .. 4J+1): keep + cross-pair sums + BN1 + ReLU
     b1 = b1_ref[0]
@@ -257,8 +286,8 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
     r0b = jnp.where(j < 1, jnp.zeros((rows, c), dt), y1[1].astype(dt))
     r1b = jnp.where(drain, jnp.zeros((rows, c), dt), y1[2].astype(dt))
     r1p[...] = y1[3].astype(dt)                     # save plane 4J+1
-    q2a = dot(taps(r0a, r1a), w2_ref[...])
-    q2b = dot(taps(r0b, r1b), w2_ref[...])
+    q2a = conv_pair(r0a, r1a, w2_ref, c)
+    q2b = conv_pair(r0b, r1b, w2_ref, c)
 
     # finalize y2 quad (4J-4 .. 4J-1): BN2 (folded) + skip + ReLU [+ tail]
     @pl.when(j >= 1)
@@ -287,6 +316,22 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
             o_ref[:, 0, m] = out.astype(o_ref.dtype).reshape(
                 batch, yz, out_c)
 
+        if emit_pooled:
+            # MaxPool3d(2) of the input quad (pair-max + split-reshape
+            # decimation, see updown._pool_kernel_reshape): pooled out
+            # planes (2(J-1), 2(J-1)+1).
+            for m in (0, 1):
+                pa = x_skip[:, 0, 2 * m].reshape(rows, cin)
+                pb = x_skip[:, 0, 2 * m + 1].reshape(rows, cin)
+                mx = jnp.maximum(pa, pb)
+                mz = jnp.maximum(mx, _row_shift_up(mx, 1))
+                a2 = mz.reshape(rows // 2, 2, cin)[:, 0]
+                my = jnp.maximum(a2, _row_shift_up(a2, size_z // 2))
+                b4 = my.reshape(batch * size_y // 2, 2, size_z // 2,
+                                cin)[:, 0]
+                po_ref[:, 0, m] = b4.reshape(batch, yz // 4,
+                                             cin).astype(po_ref.dtype)
+
     q2k[...] = q2b[:, 2 * c:4 * c].astype(q2k.dtype)
 
 
@@ -297,7 +342,8 @@ def res3d_block_fused(
         skip_proj=None,
         tail: Sequence[Tuple[jnp.ndarray, jnp.ndarray, bool]] = (),
         out_dtype=None, interpret: bool = False,
-        force_fold: int = None, pairs_per_step: int = None) -> jnp.ndarray:
+        force_fold: int = None, pairs_per_step: int = None,
+        dy_accum: bool = None, emit_pooled: bool = False):
     """Fused Res3DBlock: relu(bn2(conv2(relu(bn1(conv1(x))))) + skip) [+tail].
 
     Args:
@@ -312,9 +358,14 @@ def res3d_block_fused(
       pairs_per_step: 2 processes two plane-pairs per grid step (X % 4
         == 0 required), halving step count and keep-buffer round trips;
         default picks 2 whenever X allows it.
+      emit_pooled: also return MaxPool3d(2)(x) computed from the resident
+        skip blocks (m2 schedule only) — the V2V ``skip = res(x); x =
+        pool(x)`` pattern without a separate pool kernel launch.
 
     Returns:
-      (B, X, Y, Z, C_out) where C_out is the last tail width (or C).
+      (B, X, Y, Z, C_out) where C_out is the last tail width (or C);
+      with ``emit_pooled``, a tuple ``(out, pooled)`` where pooled is
+      (B, X/2, Y/2, Z/2, Cin).
     """
     b, size_x, size_y, size_z, cin = x.shape
     assert size_x % 2 == 0, size_x
@@ -416,11 +467,26 @@ def res3d_block_fused(
             pl.BlockSpec((1, co), lambda g, j: (0, 0)),
         ]
 
+    import os
+
+    if dy_accum is None:
+        dy_accum = bool(os.environ.get("LT_TPU_RES3D_DY_ACCUM"))
+    # Keep buffers hold the cross-step halves of the conv partial sums.
+    # bf16 keeps halve their VMEM round-trip traffic; the rounding applies
+    # to one addend of the final sum (~0.4% worst-case on bf16 inputs,
+    # inside the block's 2e-2 parity budget).  LT_TPU_RES3D_F32_KEEPS=1
+    # restores f32.
+    keep_dtype = (jnp.float32 if os.environ.get("LT_TPU_RES3D_F32_KEEPS")
+                  or x.dtype == jnp.float32 else x.dtype)
+    emit_pooled = emit_pooled and m2
+    assert not emit_pooled or (size_y % 2 == 0 and size_z % 2 == 0)
     kernel = functools.partial(
         _res3d_kernel_m2 if m2 else _res3d_kernel, batch=fold,
         size_x=size_x, yz=yz, size_y=size_y, size_z=size_z, cin=cin, c=c,
         tail_relu=tuple(bool(t[2]) for t in tail),
-        out_c=out_c, skip_proj=skip_proj is not None)
+        out_c=out_c, skip_proj=skip_proj is not None,
+        **({"dy_accum": dy_accum, "emit_pooled": emit_pooled}
+           if m2 else {}))
 
     if m2:
         grid = (groups, size_x // 4 + 1)
@@ -429,6 +495,13 @@ def res3d_block_fused(
             lambda g, j: (g, jnp.clip(j - 1, 0, size_x // 4 - 1), 0, 0, 0))
         out_shape = jax.ShapeDtypeStruct(
             (b, size_x // 4, 4, yz, out_c), out_dtype)
+        if emit_pooled:
+            out_specs = [out_specs, pl.BlockSpec(
+                (fold, 1, 2, yz // 4, cin),
+                lambda g, j: (g, jnp.clip(j - 1, 0, size_x // 4 - 1),
+                              0, 0, 0))]
+            out_shape = [out_shape, jax.ShapeDtypeStruct(
+                (b, size_x // 4, 2, yz // 4, cin), x.dtype)]
     else:
         grid = (groups, half + 2)
         out_specs = pl.BlockSpec(
@@ -443,8 +516,8 @@ def res3d_block_fused(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((rows, 2 * c), jnp.float32),   # q1 keep
-            pltpu.VMEM((rows, 2 * c), jnp.float32),   # q2 keep
+            pltpu.VMEM((rows, 2 * c), keep_dtype),    # q1 keep
+            pltpu.VMEM((rows, 2 * c), keep_dtype),    # q2 keep
             pltpu.VMEM((rows, c), x.dtype),           # y1 plane history
         ],
         compiler_params=pltpu.CompilerParams(
@@ -454,4 +527,9 @@ def res3d_block_fused(
         interpret=interpret,
     )(*operands)
 
+    if emit_pooled:
+        out, pooled = out
+        return (out.reshape(b, size_x, size_y, size_z, out_c),
+                pooled.reshape(b, size_x // 2, size_y // 2, size_z // 2,
+                               cin))
     return out.reshape(b, size_x, size_y, size_z, out_c)

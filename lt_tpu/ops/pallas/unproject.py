@@ -323,23 +323,21 @@ def _tile_sample_t(read_band, m, t, *, tile: int, grid_size: int,
         m2 = (dot_split(f_t, a_t) if f32_mode
               else dot(f_t, a_t.astype(f_t.dtype)))
 
-        # Transposed column weights: row r of the band covers absolute
-        # image column col0 + r // C.
-        ww = (jax.lax.broadcasted_iota(jnp.int32, (bwc, tile), 0)
-              // channels + col0)
-        bexp = (jnp.where(ww == x0i, 1.0 - wx, 0.0)
-                + jnp.where(ww == x0i + 1, wx, 0.0))
-        p = m2 * bexp                                    # (bwc, TILE) f32
-
-        # Transposed channel-collapse S^T (C, band_w*C).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (channels, bwc), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (channels, bwc), 1)
-        s = (cols % channels == rows).astype(jnp.bfloat16)
-        if f32_mode:
-            p_hi = p.astype(jnp.bfloat16)
-            p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return dot(s, p_hi) + dot(s, p_lo)           # (C, TILE)
-        return dot(s, p.astype(jnp.bfloat16))
+        # Column mix + channel collapse in one VPU contraction: the column
+        # weight depends on the band row r only through w = r // C, so the
+        # one-hot is built at band resolution (band_w, TILE) — 1/C of the
+        # old (band_w*C, TILE) compare/select build — and the collapse
+        #   out[c, t] = sum_w m2[(w, c), t] * b16[w, t]
+        # is a broadcast multiply + leading-axis sum on the (band_w, C,
+        # TILE) sublane-split view (lanes untouched), replacing the
+        # 25%-M-dense S^T matmul entirely.  All f32: strictly more accurate
+        # than the old bf16 S-dot.
+        wwb = (jax.lax.broadcasted_iota(jnp.int32, (band_w, tile), 0)
+               + col0)
+        b16 = (jnp.where(wwb == x0i, 1.0 - wx, 0.0)
+               + jnp.where(wwb == x0i + 1, wx, 0.0))     # (band_w, TILE)
+        m3 = m2.reshape(band_w, channels, tile)
+        return jnp.sum(m3 * b16[:, None, :], axis=0)     # (C, TILE)
 
     if c0 is not None:
         def banded():

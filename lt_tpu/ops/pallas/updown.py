@@ -202,14 +202,19 @@ def max_pool3d_2x(x: jnp.ndarray, interpret: bool = False,
     return out.reshape(b, size_x // 2, size_y // 2, size_z // 2, c)
 
 
-def _upsample_kernel(x_ref, w_ref, b_ref, o_ref, zb, yb, *, batch: int,
+def _upsample_kernel(x_ref, w_ref, b_ref, *rest, batch: int,
                      yz: int, size_y: int, size_z: int, cin: int,
-                     cout: int):
+                     cout: int, fuse_skip: bool):
     # Mosaic supports strided loads/stores only on refs, in f32, along a
     # single non-lane dim — so each 2x interleave is a pair of strided
     # stores into VMEM scratch (z pairs on a 2D view, y pairs on a 3D view
     # so the stride stays on a leading dim).  One matmul per (dx, dy, dz)
     # tap keeps everything else as plain values.
+    if fuse_skip:
+        skip_ref, o_ref, zb, yb = rest
+    else:
+        o_ref, zb, yb = rest
+        skip_ref = None
     rows = batch * yz
     plane = x_ref[:, 0].reshape(rows, cin)
 
@@ -227,8 +232,12 @@ def _upsample_kernel(x_ref, w_ref, b_ref, o_ref, zb, yb, *, batch: int,
             vs.append(zb[...].reshape(batch * size_y, 2 * size_z, cout))
         yb[::2] = vs[0]                              # y-interleave
         yb[1::2] = vs[1]
-        o_ref[:, 0, dx] = yb[...].reshape(batch, 4 * yz,
-                                          cout).astype(o_ref.dtype)
+        out = yb[...].reshape(batch, 4 * yz, cout)
+        if skip_ref is not None:
+            # Residual skip-add fused after BN+ReLU (v2v.py:126-136: the
+            # decoder's `x = up(x) + skip` — one less full-volume HBM pass).
+            out = out + skip_ref[:, 0, dx].astype(jnp.float32)
+        o_ref[:, 0, dx] = out.astype(o_ref.dtype)
 
 
 def _upsample_kernel_lanes(x_ref, w_ref, b_ref, o_ref, *, fold: int,
@@ -256,14 +265,18 @@ def _upsample_kernel_lanes(x_ref, w_ref, b_ref, o_ref, *, fold: int,
 
 
 def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
-                  interpret: bool = False, impl: str = None) -> jnp.ndarray:
-    """Fused ConvTranspose3d(2, 2) + folded BN + ReLU.
+                  interpret: bool = False, impl: str = None,
+                  skip: jnp.ndarray = None) -> jnp.ndarray:
+    """Fused ConvTranspose3d(2, 2) + folded BN + ReLU [+ skip add].
 
     Args:
       x: (B, X, Y, Z, Cin).
       w8: (Cin, 8*Cout) packed taps, column block (dx*4 + dy*2 + dz)*Cout
         (:func:`pack_upsample_weights`), BN scale pre-folded.
       bias: (8*Cout,) — conv bias + folded BN offset, tiled per tap block.
+      skip: optional (B, 2X, 2Y, 2Z, Cout) residual added after the ReLU
+        (the decoder's `up(x) + skip`, v2v.py:126-136), fused so the
+        skip-add costs no extra HBM pass.
 
     Returns:
       (B, 2X, 2Y, 2Z, Cout) in x.dtype.
@@ -273,6 +286,8 @@ def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
     b, size_x, size_y, size_z, cin = x.shape
     cout = w8.shape[1] // 8
     yz = size_y * size_z
+    if skip is not None:
+        impl = "strided"  # skip fusion implemented on the default path
 
     # 'lanes' (one dense 128x128 matmul per (dx, dy)) measured SLOWER than
     # 'strided' on v5e (2.67 vs 2.17 ms at b8 32^3 64->32ch): the four
@@ -345,15 +360,23 @@ def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
 
     kernel = functools.partial(_upsample_kernel, batch=fold, yz=yz,
                                size_y=size_y, size_z=size_z, cin=cin,
-                               cout=cout)
+                               cout=cout, fuse_skip=skip is not None)
+    in_specs = [
+        pl.BlockSpec((fold, 1, yz, cin), lambda g, j: (g, j, 0, 0)),
+        pl.BlockSpec((8, cin, cout), lambda g, j: (0, 0, 0)),
+        pl.BlockSpec((8, 1, cout), lambda g, j: (0, 0, 0)),
+    ]
+    operands = [x.reshape(b, size_x, yz, cin),
+                w8.reshape(cin, 8, cout).transpose(1, 0, 2).astype(x.dtype),
+                bias.reshape(8, 1, cout).astype(jnp.float32)]
+    if skip is not None:
+        in_specs.append(pl.BlockSpec((fold, 1, 2, 4 * yz, cout),
+                                     lambda g, j: (g, j, 0, 0, 0)))
+        operands.append(skip.reshape(b, size_x, 2, 4 * yz, cout))
     out = pl.pallas_call(
         kernel,
         grid=(b // fold, size_x),
-        in_specs=[
-            pl.BlockSpec((fold, 1, yz, cin), lambda g, j: (g, j, 0, 0)),
-            pl.BlockSpec((8, cin, cout), lambda g, j: (0, 0, 0)),
-            pl.BlockSpec((8, 1, cout), lambda g, j: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((fold, 1, 2, 4 * yz, cout),
                                lambda g, j: (g, j, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, size_x, 2, 4 * yz, cout),
@@ -365,9 +388,7 @@ def upsample3d_2x(x: jnp.ndarray, w8: jnp.ndarray, bias: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x.reshape(b, size_x, yz, cin),
-      w8.reshape(cin, 8, cout).transpose(1, 0, 2).astype(x.dtype),
-      bias.reshape(8, 1, cout).astype(jnp.float32))
+    )(*operands)
     return out.reshape(b, 2 * size_x, 2 * size_y, 2 * size_z, cout)
 
 

@@ -138,3 +138,21 @@ def test_res3d_fused_fold1_mask_free_taps(rng):
     got = res3d_block_fused(x, w1, b1, w2, b2, interpret=True, force_fold=1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_res3d_fused_emit_pooled(rng):
+    """emit_pooled second output == MaxPool3d(2)(x) (m2 schedule)."""
+    import flax.linen as nn
+
+    c = 32
+    x, block, variables = _init_res_block(rng, c, side=8, batch=2)
+    ref_out = block.apply(variables, x, False)
+    ref_pool = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+    w1, b1, w2, b2 = _folded_res_params(variables, c)
+    got, pooled = res3d_block_fused(x, w1, b1, w2, b2, interpret=True,
+                                    emit_pooled=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
+                               rtol=0, atol=0)

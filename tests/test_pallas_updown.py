@@ -63,3 +63,17 @@ def test_upsample3d_2x(rng):
     got = upsample3d_2x(x, w8, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_upsample3d_2x_fused_skip_add(rng):
+    """skip= fuses the decoder's `up(x) + skip` into the kernel finalize."""
+    b, s, cin, cout = 2, 8, 64, 32
+    x = jnp.asarray(rng.randn(b, s, s, s, cin), jnp.float32)
+    skip = jnp.asarray(rng.randn(b, 2 * s, 2 * s, 2 * s, cout) * 0.5,
+                       jnp.float32)
+    w8 = jnp.asarray(rng.randn(cin, 8 * cout) * 0.1, jnp.float32)
+    bias = jnp.tile(jnp.asarray(rng.randn(cout) * 0.1, jnp.float32), 8)
+    ref = upsample3d_2x(x, w8, bias, interpret=True) + skip
+    got = upsample3d_2x(x, w8, bias, interpret=True, skip=skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
