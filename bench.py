@@ -130,17 +130,22 @@ def main():
 
     fps = batch * args.iters / dt
 
-    # MFU anchor: exact HLO FLOPs of the compiled forward when the compiler
-    # reports them; ~500 GFLOP/frame (ROADMAP FLOPs model) otherwise.
-    flops_per_frame = 500e9
+    # MFU anchor.  XLA's cost_analysis() cannot see inside pallas
+    # custom-calls (it reports only ~88 GFLOP/frame — the backbone), so
+    # the model FLOPs come from the analytic count of the full pipeline at
+    # flagship shapes: ResNet-152@384^2 x4 views ~128 G + V2V@64^3 ~280 G
+    # + unprojection (nominal bilinear) ~1 G ~= 410 GFLOP/frame.  The HLO
+    # number is reported alongside for reference.
+    flops_per_frame = 410e9 if not args.quick else 0.0
+    hlo_flops = 0.0
     try:
         cost = forward.lower(variables, images, proj,
                              keypoints).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        reported = float(cost.get("flops", 0.0))
-        if reported > 0:
-            flops_per_frame = reported / batch
+        hlo_flops = float(cost.get("flops", 0.0)) / batch
+        if not flops_per_frame:
+            flops_per_frame = hlo_flops
     except Exception:
         pass
     mfu_pct = 100.0 * fps * flops_per_frame / TPU_PEAK_FLOPS
@@ -152,6 +157,7 @@ def main():
         "vs_baseline": round(fps / A100_EST_FPS, 2),
         "mfu_pct": round(mfu_pct, 2),
         "gflops_per_frame": round(flops_per_frame / 1e9, 1),
+        "hlo_gflops_per_frame": round(hlo_flops / 1e9, 1),
     }
     print(json.dumps(result))
     return 0

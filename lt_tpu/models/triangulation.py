@@ -303,7 +303,11 @@ class VolumetricTriangulationNet(nn.Module):
             fuse = (not train) or (
                 self.volume_aggregation_method in ("softmax", "sum")
                 and vol_conf is None)
-            agg_dtype = self.compute_dtype if (train and not fuse) else None
+            # Aggregated volume in the compute dtype everywhere: it only
+            # feeds the V2V net (which casts anyway); halves the
+            # channels-last relayout and (training) the remat residual.
+            agg_dtype = (self.compute_dtype
+                         if self.compute_dtype != jnp.float32 else None)
             volumes = pallas_unproject.unproject_heatmaps_affine(
                 features, proj_hm, grid_affine, self.volume_size,
                 volume_aggregation_method=self.volume_aggregation_method,

@@ -311,7 +311,8 @@ class Res3DBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, tail=(), emit_pooled: bool = False):
+    def __call__(self, x, train: bool, tail=(), emit_pooled: bool = False,
+                 return_folded: bool = False):
         """``tail``: optional ((w, b, relu), ...) per-voxel matmuls fused
         after the block on the Pallas inference path (V2V back section).
 
@@ -319,7 +320,12 @@ class Res3DBlock(nn.Module):
         the fused kernel from the already-resident input blocks on the
         Pallas path (the encoder's ``skip = res(x); x = pool(x)`` pattern,
         v2v.py:73-84), as a plain pooling op otherwise.  Returns
-        ``(out, pooled)`` when set."""
+        ``(out, pooled)`` when set.
+
+        ``return_folded``: declare the block's params and return the folded
+        ``(w1, b1, w2, b2)`` WITHOUT computing — the chain-fusion caller
+        (V2VModel front section) feeds several blocks' params into one
+        :func:`res3d_chain_fused` call.  Identity-skip blocks only."""
         conv1 = _conv3d(self.features, 3, 1, dtype=self.compute_dtype,
                         name="conv1")
         bn1 = BatchNorm(name="bn1")
@@ -334,7 +340,7 @@ class Res3DBlock(nn.Module):
                         name="skip_conv")(x)
             return BatchNorm(name="skip_bn")(s, train)
 
-        if _use_pallas_res3d(train, x.shape[1]):
+        if return_folded or _use_pallas_res3d(train, x.shape[1]):
             # Whole block = ONE fused kernel: conv+BN+ReLU, conv+BN,
             # (projected) skip add, ReLU (v2v.py:20-42 semantics).
             from lt_tpu.ops.pallas.conv3d import fold_bn
@@ -353,6 +359,9 @@ class Res3DBlock(nn.Module):
             w2, b2 = fold_bn(conv2.variables["params"]["kernel"],
                              conv2.variables["params"].get("bias"),
                              *_bn_constants(bn2, self.features), eps=BN_EPS)
+            if return_folded:
+                assert cin == self.features, "chain fusion: identity skips"
+                return w1, b1, w2, b2
             skip_proj = None
             if cin != self.features:
                 sconv = _conv3d(self.features, 1, 0,
@@ -545,9 +554,22 @@ class V2VModel(nn.Module):
             basic, res, encdec = Basic3DBlock, Res3DBlock, EncoderDecoder
         x = x.astype(dt)
         x = basic(16, 7, dt, name="front_basic")(x, train)
-        x = res(32, dt, name="front_res1")(x, train)
-        x = res(32, dt, name="front_res2")(x, train)
-        x = res(32, dt, name="front_res3")(x, train)
+        chain = (_use_pallas_res3d(train, x.shape[1])
+                 and x.shape[1] % 4 == 0)
+        x = res(32, dt, name="front_res1")(x, train)  # 16->32: proj skip
+        if chain:
+            # The two consecutive identity-skip front blocks run as ONE
+            # chained kernel (res3d_chain_fused): the inter-block 64^3
+            # volume never round-trips HBM.  Parameter tree identical to
+            # the sequential path (return_folded only declares).
+            from lt_tpu.ops.pallas.res3d import res3d_chain_fused
+
+            params = [Res3DBlock(32, dt, name=f"front_res{i}")(
+                x, train, return_folded=True) for i in (2, 3)]
+            x = res3d_chain_fused(x.astype(dt), params, out_dtype=dt)
+        else:
+            x = res(32, dt, name="front_res2")(x, train)
+            x = res(32, dt, name="front_res3")(x, train)
 
         x = encdec(dt, name="encoder_decoder")(x, train)
 
@@ -562,6 +584,7 @@ class V2VModel(nn.Module):
         out_conv = _conv3d(self.output_channels, 1, 0, dtype=dt,
                            name="output_layer")
 
+        keep_dtype_out = (not train and dt != jnp.float32)
         if fused_back:
             # Back section fused into back_res's kernel tail: two k=1
             # Basic3D blocks (conv+BN+ReLU as one matmul each after BN
@@ -592,4 +615,10 @@ class V2VModel(nn.Module):
             x = back1(x, train)
             x = back2(x, train)
             x = out_conv(x)
+        # Inference keeps the compute dtype: the (B, 64^3, J) logits tensor
+        # is the single biggest HBM lump on the hot path (571 MB in f32 at
+        # flagship) and the soft-argmax upcasts in-register.  Training
+        # emits f32 (loss-side numerics unchanged).
+        if keep_dtype_out:
+            return x
         return x.astype(jnp.float32)

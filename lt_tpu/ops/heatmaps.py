@@ -124,15 +124,28 @@ def integrate_tensor_3d_with_coordinates_channels_last(
       (keypoints (B, J, 3), normalized volumes (B, J, X, Y, Z)).
     """
     b, xs, ys, zs, j = volumes.shape
-    flat = volumes.reshape(b, xs * ys * zs, j).astype(jnp.float32)
+    flat = volumes.reshape(b, xs * ys * zs, j)
+    cv = coord_volumes.reshape(b, -1, 3).astype(jnp.float32)
     if softmax:
-        flat = jax.nn.softmax(flat, axis=1)
+        # Normalize AFTER the reductions: E[x] = (sum e*x) / (sum e) with
+        # e = exp(l - max).  Equal to einsum(softmax(l), x) up to float
+        # associativity, but the normalized (B, N, J) f32 volume is never
+        # materialized in HBM — XLA fuses the exp into both reductions
+        # (the volume may also arrive in bf16 and upcast in-register).
+        mx = jax.lax.stop_gradient(
+            flat.max(axis=1, keepdims=True)).astype(jnp.float32)
+        e = jnp.exp(flat.astype(jnp.float32) - mx)
+        den = e.sum(axis=1)                              # (B, J)
+        num = jnp.einsum("bnj,bnc->bjc", e, cv,
+                         precision=jax.lax.Precision.HIGHEST)
+        coords = num / den[..., None]
+        vols = e / den[:, None, :]
     else:
-        flat = jax.nn.relu(flat)
-    coords = jnp.einsum("bnj,bnc->bjc", flat,
-                        coord_volumes.reshape(b, -1, 3).astype(jnp.float32),
-                        precision=jax.lax.Precision.HIGHEST)
-    vols = flat.reshape(b, xs, ys, zs, j)
+        e = jax.nn.relu(flat.astype(jnp.float32))
+        coords = jnp.einsum("bnj,bnc->bjc", e, cv,
+                            precision=jax.lax.Precision.HIGHEST)
+        vols = e
+    vols = vols.reshape(b, xs, ys, zs, j)
     return coords, jnp.moveaxis(vols, -1, 1)
 
 

@@ -74,7 +74,7 @@ def pack_weights_mp(weights: jnp.ndarray, s: int) -> jnp.ndarray:
 
 
 def _taps_mp(planes, *, k: int, size_y: int, size_z: int, rows: int,
-             fold: int):
+             fold: int, split_dy: bool = False):
     """The s*k*k masked (dy, dz) taps of s planes, concatenated on lanes.
 
     Row r of a plane is (b, y, z) = (r // YZ, (r // Z) % Y, r % Z).  Built
@@ -106,6 +106,8 @@ def _taps_mp(planes, *, k: int, size_y: int, size_z: int, rows: int,
             y_ok = (y_of_r + dy >= 0) & (y_of_r + dy < size_y)
             t = jnp.where(y_ok, t, jnp.zeros_like(t))
         taps.append(t)
+    if split_dy:
+        return taps                                     # k x (rows, k*s*C)
     return jnp.concatenate(taps, axis=-1)               # (rows, s*k*k*C)
 
 
@@ -131,9 +133,22 @@ def _conv_mp_kernel(*refs, s: int, k: int, off: int, lag: int, batch: int,
         valid = jnp.logical_and(plane_id >= 0, plane_id <= size_x - 1)
         planes.append(jnp.where(valid, p, jnp.zeros_like(p)))
 
-    q = _dot(_taps_mp(planes, k=k, size_y=size_y, size_z=size_z,
-                      rows=rows, fold=batch),
-             w_ref[...])                        # (rows, (s+2h)*cout) f32
+    import os
+
+    if os.environ.get("LT_TPU_MP_DY_ACCUM"):
+        # k dots of K = k*s*Cin accumulated, skipping the (rows, s*k*k*Cin)
+        # tap concat (for k=7 that concat is 25 MB/step of VPU copies; the
+        # per-chunk K=448 pads to 512, +14% MXU).
+        strips = _taps_mp(planes, k=k, size_y=size_y, size_z=size_z,
+                          rows=rows, fold=batch, split_dy=True)
+        kc = k * s * cin
+        q = _dot(strips[0], w_ref[0:kc, :])
+        for i in range(1, k):
+            q = q + _dot(strips[i], w_ref[kc * i:kc * (i + 1), :])
+    else:
+        q = _dot(_taps_mp(planes, k=k, size_y=size_y, size_z=size_z,
+                          rows=rows, fold=batch),
+                 w_ref[...])                    # (rows, (s+2h)*cout) f32
 
     keep_old = keep[...].astype(jnp.float32)
     keep_old = jnp.where(j == 0, jnp.zeros_like(keep_old), keep_old)

@@ -764,6 +764,11 @@ def unproject_heatmaps_affine(features: jnp.ndarray, proj_matrices: jnp.ndarray,
                 features, m, view_mask, vol_confidences,
                 volume_aggregation_method, grid_size, tile, band_width,
                 interpret)
+        # Cast BEFORE the channels-last transpose: the volume only feeds
+        # the V2V net (which computes in aggregation_dtype anyway), and
+        # casting first halves the 64^3 relayout's HBM traffic.
+        if aggregation_dtype is not None:
+            volume = volume.astype(aggregation_dtype)
         if channels_last:
             return volume.swapaxes(1, 2).reshape(
                 b, grid_size, grid_size, grid_size, c)

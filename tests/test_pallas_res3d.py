@@ -12,7 +12,7 @@ import pytest
 from lt_tpu.models.backbone import BN_EPS
 from lt_tpu.models.v2v import Basic3DBlock, Conv3D, Res3DBlock
 from lt_tpu.ops.pallas.conv3d import fold_bn
-from lt_tpu.ops.pallas.res3d import res3d_block_fused
+from lt_tpu.ops.pallas.res3d import res3d_block_fused, res3d_chain_fused
 
 
 def _folded_res_params(variables, c):
@@ -156,3 +156,27 @@ def test_res3d_fused_emit_pooled(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 2, 3])
+def test_res3d_chain_fused(rng, n_blocks):
+    """K chained identity-skip blocks in one kernel == K sequential flax
+    blocks (the V2V front_res1..3 pattern)."""
+    c = 32
+    x, block, variables = _init_res_block(rng, c, side=8, batch=2)
+    ref = x
+    blocks = []
+    vs = variables
+    for i in range(n_blocks):
+        if i > 0:
+            _, block, vs = _init_res_block(
+                np.random.RandomState(100 + i), c, side=8, batch=2)
+        ref = block.apply(vs, ref, False)
+        w1, b1, w2, b2 = _folded_res_params(vs, c)
+        blocks.append((w1, b1, w2, b2))
+
+    got = res3d_chain_fused(jnp.asarray(np.asarray(ref) * 0 +
+                                        np.asarray(x)), blocks,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
