@@ -126,15 +126,19 @@ class BatchIterator:
 
     def _make_batch(self, idxs, rng) -> Optional[Dict]:
         # Datasets with a fused native batch loader (H36M fast path) decode
-        # all B*V JPEGs in one C++ thread-pooled call; everything else
-        # (cv2 fallback, CMU, synthetic) decodes per-sample on a thread pool
-        # here — the reference's num_workers analogue for *every* dataset
-        # (/root/reference/train.py:78,107). cv2 releases the GIL in
-        # imread/imdecode, so threads scale.
+        # all B*V JPEGs in one C++ thread-pooled call; IO-bound datasets
+        # (cv2-fallback H36M, CMU — they read + JPEG-decode files) decode
+        # per-sample on a thread pool here — the reference's num_workers
+        # analogue (/root/reference/train.py:78,107).  Compute-bound
+        # datasets (synthetic: pure-numpy rendering) stay serial: measured
+        # r4, the pool is 2.3x SLOWER there (GIL contention), and cv2's
+        # own internal thread pool already spreads decode/resize across
+        # cores (pool vs serial on 64 jpeg decodes: 0.66-0.99s vs 0.72s).
         if (getattr(self.dataset, "_fast_path", False)
                 and hasattr(self.dataset, "get_batch")):
             items = self.dataset.get_batch(idxs)
-        elif self.num_workers > 1 and len(idxs) > 1:
+        elif (self.num_workers > 1 and len(idxs) > 1
+              and getattr(self.dataset, "io_bound", False)):
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 

@@ -113,6 +113,9 @@ class CMUPanopticMultiViewDataset:
         self.scale_bbox = scale_bbox
         self.norm_image = norm_image
         self.crop = crop
+        # Per-sample loads read + JPEG-decode files: the
+        # BatchIterator fallback thread pool pays off here.
+        self.io_bound = True
         self.num_keypoints = 19
         self.kind = "cmu"
 

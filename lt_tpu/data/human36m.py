@@ -71,6 +71,9 @@ class Human36MMultiViewDataset:
         self.undistort_images = undistort_images
         self.ignore_cameras = list(ignore_cameras)
         self.crop = crop
+        # Per-sample loads read + JPEG-decode files: the
+        # BatchIterator fallback thread pool pays off here.
+        self.io_bound = True
 
         self.labels = np.load(labels_path, allow_pickle=True).item()
 

@@ -41,6 +41,34 @@ def restore_checkpoint(directory: str, state_template, name: str = "state"):
     return TrainState(**restored)
 
 
+def restore_raw(directory: str, name: str = "state"):
+    """Restore a checkpoint WITHOUT a template (raw numpy pytree).
+
+    Used for cross-model transfers — e.g. initializing the volumetric
+    model's backbone from a trained algebraic run's checkpoint (the
+    reference's own vol workflow: human36m_vol_softmax.yaml points
+    model.backbone.checkpoint at a pretrained alg model) — where the full
+    source TrainState structure isn't available to build a template.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, name))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def resolve_checkpoint_dir(path: str) -> str:
+    """Accept an experiment dir, its checkpoints/ dir, or an epoch dir."""
+    if os.path.isdir(os.path.join(path, "state")):
+        return path
+    cdir = path if os.path.basename(path) == "checkpoints" else os.path.join(
+        path, "checkpoints")
+    latest = latest_epoch_dir(cdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    return latest
+
+
 def latest_epoch_dir(checkpoints_dir: str) -> Optional[str]:
     """Find the newest {epoch:04d} checkpoint directory, if any."""
     if not os.path.isdir(checkpoints_dir):

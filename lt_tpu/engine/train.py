@@ -155,6 +155,22 @@ def make_datasets(config, is_train: bool = True):
     raise NotImplementedError(f"Unknown dataset kind: {kind}")
 
 
+def _merge_matching(dst: dict, src: dict) -> dict:
+    """Copy leaves of ``src`` into ``dst`` where the key path exists in
+    both with the same array shape; keep ``dst`` elsewhere."""
+    out = {}
+    for k, v in dst.items():
+        s = src.get(k) if isinstance(src, dict) else None
+        if isinstance(v, dict) and isinstance(s, dict):
+            out[k] = _merge_matching(v, s)
+        elif (s is not None and hasattr(v, "shape") and hasattr(s, "shape")
+                and v.shape == s.shape):
+            out[k] = s
+        else:
+            out[k] = v
+    return out
+
+
 def init_model_state(config, model, sample_batch, seed: int = 42
                      ) -> TrainState:
     """Initialize variables (+ optionally import reference checkpoints)."""
@@ -173,18 +189,37 @@ def init_model_state(config, model, sample_batch, seed: int = 42
     variables = dict(variables)
     variables.setdefault("batch_stats", {})
 
-    # Backbone-only pretrained weights (pose_resnet.py:338-375).
+    # Backbone-only pretrained weights: a reference .pth
+    # (pose_resnet.py:338-375) OR one of our own Orbax checkpoints — the
+    # reference's vol workflow initializes the backbone from a trained
+    # algebraic model (train/human36m_vol_softmax.yaml), and here that
+    # source can be a previous lt_tpu experiment directory.
     bb = config.model.backbone
     if bb.get("init_weights") and bb.get("checkpoint"):
-        from lt_tpu.utils import torch_import
+        if bb.checkpoint.endswith(".pth"):
+            from lt_tpu.utils import torch_import
 
-        sd = torch_import.load_state_dict(bb.checkpoint)
-        imported = torch_import.import_pose_resnet(
-            sd, num_layers=bb.num_layers, num_joints=bb.num_joints)
+            sd = torch_import.load_state_dict(bb.checkpoint)
+            imported = torch_import.import_pose_resnet(
+                sd, num_layers=bb.num_layers, num_joints=bb.num_joints)
+            bb_params = imported["params"]
+            bb_stats = imported["batch_stats"]
+        else:
+            src = ckpt.restore_raw(ckpt.resolve_checkpoint_dir(bb.checkpoint))
+            # Shape-checked merge: source models may carry different heads
+            # (alg_confidences vs vol_confidences) or a different-J
+            # final_layer — copy only leaves that exist in the target with
+            # matching shapes, keep the fresh init elsewhere
+            # (pose_resnet.py:351-358 reinit semantics).
+            bb_params = _merge_matching(variables["params"]["backbone"],
+                                        src["params"]["backbone"])
+            bb_stats = _merge_matching(
+                variables["batch_stats"].get("backbone", {}),
+                src["batch_stats"]["backbone"])
         variables["params"] = {**variables["params"],
-                               "backbone": imported["params"]}
+                               "backbone": bb_params}
         variables["batch_stats"] = {**variables["batch_stats"],
-                                    "backbone": imported["batch_stats"]}
+                                    "backbone": bb_stats}
 
     # Whole-model weights (train.py:406-413).
     if config.model.get("init_weights") and config.model.get("checkpoint"):
