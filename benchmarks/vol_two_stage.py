@@ -27,10 +27,10 @@ def main():
     enable_compilation_cache()
     from lt_tpu.engine.train import run
 
-    alg_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    vol_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    alg_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    vol_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 
-    with open("experiments/synthetic/alg_tiny.yaml") as f:
+    with open("experiments/synthetic/alg_pretrain.yaml") as f:
         acfg = yaml.safe_load(f)
     acfg["opt"]["n_epochs"] = max(alg_epochs, acfg["opt"]["n_epochs"])
     with tempfile.NamedTemporaryFile("w", suffix=".yaml",

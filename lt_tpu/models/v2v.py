@@ -359,9 +359,6 @@ class Res3DBlock(nn.Module):
             w2, b2 = fold_bn(conv2.variables["params"]["kernel"],
                              conv2.variables["params"].get("bias"),
                              *_bn_constants(bn2, self.features), eps=BN_EPS)
-            if return_folded:
-                assert cin == self.features, "chain fusion: identity skips"
-                return w1, b1, w2, b2
             skip_proj = None
             if cin != self.features:
                 sconv = _conv3d(self.features, 1, 0,
@@ -373,6 +370,12 @@ class Res3DBlock(nn.Module):
                                  *_bn_constants(sbn, self.features),
                                  eps=BN_EPS)
                 skip_proj = (ws.reshape(cin, self.features), bs)
+            if return_folded:
+                # Width-changing blocks return the folded projection skip
+                # too — res3d_chain_fused accepts a 5-tuple FIRST block.
+                if skip_proj is not None:
+                    return w1, b1, w2, b2, skip_proj
+                return w1, b1, w2, b2
             want_pool = (emit_pooled and x.shape[1] % 4 == 0
                          and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
             r = res3d_block_fused(
@@ -485,13 +488,31 @@ class EncoderDecoder(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, front_chain=None):
         dt = self.compute_dtype
         # Encoder levels: `skip = res(x); x = pool(x)` — the skip block
         # emits the pooled tensor from its own kernel (emit_pooled), so
         # each level's pool costs no separate HBM pass on the Pallas path.
-        skip1, x = Res3DBlock(32, dt, name="skip_res1")(
-            x, train, emit_pooled=True)
+        if front_chain is not None:
+            # The V2V front blocks and skip_res1 all act on the same
+            # 64^3 x 32 volume: chain them (+ the encoder pool) in ONE
+            # pallas_call — front_res1 -> front_res2 -> front_res3 ->
+            # skip_res1 with the inter-block volumes never leaving VMEM
+            # (v2v.py:104-105 semantics: skip1 = skip_res1(x);
+            # pooled = pool1(x)).  skip_res1 declares from a 32-wide
+            # dummy: x may still be the 16-wide stem output when
+            # front_res1 (proj skip) heads the chain.
+            from lt_tpu.ops.pallas.res3d import res3d_chain_fused
+
+            x32 = jnp.zeros((1, 1, 1, 1, 32), x.dtype)
+            p_skip = Res3DBlock(32, dt, name="skip_res1")(
+                x32, train, return_folded=True)
+            skip1, x = res3d_chain_fused(
+                x.astype(dt), list(front_chain) + [p_skip],
+                out_dtype=dt, emit_pooled=True)
+        else:
+            skip1, x = Res3DBlock(32, dt, name="skip_res1")(
+                x, train, emit_pooled=True)
         x = Res3DBlock(64, dt, name="encoder_res1")(x, train)
         skip2, x = Res3DBlock(64, dt, name="skip_res2")(
             x, train, emit_pooled=True)
@@ -556,22 +577,45 @@ class V2VModel(nn.Module):
         x = basic(16, 7, dt, name="front_basic")(x, train)
         chain = (_use_pallas_res3d(train, x.shape[1])
                  and x.shape[1] % 4 == 0)
-        x = res(32, dt, name="front_res1")(x, train)  # 16->32: proj skip
+        front_chain = None
         if chain:
-            # The two consecutive identity-skip front blocks run as ONE
-            # chained kernel (res3d_chain_fused): the inter-block 64^3
-            # volume never round-trips HBM.  Parameter tree identical to
-            # the sequential path (return_folded only declares).
+            # The consecutive front blocks run as ONE chained kernel
+            # (res3d_chain_fused): the inter-block 64^3 volumes never
+            # round-trip HBM.  Parameter tree identical to the sequential
+            # path (return_folded only declares).  By default the chain
+            # is front_res2 -> front_res3 -> skip_res1 (+ its pool) — one
+            # kernel from front_res1's output to the encoder's first
+            # skip/pool (gate: LT_TPU_CHAIN_SKIP1=0 for the front-only
+            # variant).  LT_TPU_CHAIN_FRONT1=1 additionally heads the
+            # chain with front_res1 (16->32, folded projection skip) —
+            # measured SLOWER (110.7 -> 106.3 fps: every block-0 plane
+            # and tap strip lane-pads 16 -> 128, an 8x tax the standalone
+            # block amortizes over its own schedule), kept opt-in.
+            import os
+
             from lt_tpu.ops.pallas.res3d import res3d_chain_fused
 
-            params = [Res3DBlock(32, dt, name=f"front_res{i}")(
-                x, train, return_folded=True) for i in (2, 3)]
-            x = res3d_chain_fused(x.astype(dt), params, out_dtype=dt)
+            params = []
+            if os.environ.get("LT_TPU_CHAIN_FRONT1", "0") != "0":
+                params.append(Res3DBlock(32, dt, name="front_res1")(
+                    x, train, return_folded=True))
+            else:
+                x = res(32, dt, name="front_res1")(x, train)
+            # Dummy 32-wide input: return_folded only reads the trailing
+            # dim (the chain input may still be 16-wide at this point).
+            x32 = jnp.zeros((1, 1, 1, 1, 32), x.dtype)
+            params += [Res3DBlock(32, dt, name=f"front_res{i}")(
+                x32, train, return_folded=True) for i in (2, 3)]
+            if os.environ.get("LT_TPU_CHAIN_SKIP1", "1") != "0":
+                front_chain = params
+            else:
+                x = res3d_chain_fused(x.astype(dt), params, out_dtype=dt)
         else:
+            x = res(32, dt, name="front_res1")(x, train)  # 16->32 proj
             x = res(32, dt, name="front_res2")(x, train)
             x = res(32, dt, name="front_res3")(x, train)
 
-        x = encdec(dt, name="encoder_decoder")(x, train)
+        x = encdec(dt, name="encoder_decoder")(x, train, front_chain)
 
         fused_back = _use_pallas_res3d(train, x.shape[1])
         # Unwrapped class on the fused inference path: remat is a training

@@ -337,7 +337,9 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
 
 def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
                            n_blocks: int, batch: int, size_x: int, yz: int,
-                           size_y: int, size_z: int, c: int):
+                           size_y: int, size_z: int, c: int,
+                           emit_pooled: bool = False, cin: int = None,
+                           first_proj: bool = False):
     """K identity-skip Res3D blocks chained in ONE kernel (m2 schedule).
 
     Block i runs the m2 schedule shifted by i grid steps: its conv
@@ -354,10 +356,19 @@ def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
     the skip quad AND next step's pA0).  Only block K-1 writes the output
     (quad j - K, valid j >= K); grid = X/4 + K.
     """
+    cin = c if cin is None else cin
     rest = list(rest)
     w_refs = rest[:4 * n_blocks]
-    o_ref = rest[4 * n_blocks]
-    scr = rest[4 * n_blocks + 1:]
+    idx = 4 * n_blocks
+    if first_proj:
+        ws_ref, bs_ref = rest[idx:idx + 2]
+        idx += 2
+    if emit_pooled:
+        o_ref, po_ref = rest[idx:idx + 2]
+        scr = rest[idx + 2:]
+    else:
+        o_ref = rest[idx]
+        scr = rest[idx + 1:]
     j = pl.program_id(1)
     rows = batch * yz
     nq = size_x // 4
@@ -417,19 +428,27 @@ def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
         return [jnp.maximum(vals[m] + b2 + skip_get(m), 0.0)
                 for m in range(4)]
 
-    # Block 0: inputs/skip from the HBM refs.
-    pA0 = zif(j == 0, x_a0[:, 0].reshape(rows, c))
-    drain0 = j >= nq
-    pA1 = zif(drain0, x_a1[:, 0].reshape(rows, c))
-    pB0 = zif(drain0, x_b0[:, 0].reshape(rows, c))
-    pB1 = zif(drain0, x_b1[:, 0].reshape(rows, c))
-    quad = block_step(
-        0, pA0, pA1, pB0, pB1,
-        lambda m: x_skip[:, 0, m].reshape(rows, c).astype(jnp.float32))
+    # Block 0: inputs/skip from the HBM refs (width cin; proj skip when
+    # the chain starts at a width-changing block, e.g. V2V front_res1).
+    def skip0(m):
+        sk = x_skip[:, 0, m].reshape(rows, cin)
+        if first_proj:
+            return dot(sk.astype(ws_ref.dtype), ws_ref[...]) + bs_ref[0]
+        return sk.astype(jnp.float32)
 
+    pA0 = zif(j == 0, x_a0[:, 0].reshape(rows, cin))
+    drain0 = j >= nq
+    pA1 = zif(drain0, x_a1[:, 0].reshape(rows, cin))
+    pB0 = zif(drain0, x_b0[:, 0].reshape(rows, cin))
+    pB1 = zif(drain0, x_b1[:, 0].reshape(rows, cin))
+    quad = block_step(0, pA0, pA1, pB0, pB1, skip0)
+
+    prev_quad = None
     for i in range(1, n_blocks):
         hq = scr[3 * n_blocks + (i - 1)]
         ji = j - i
+        if i == n_blocks - 1:
+            prev_quad = quad  # last block's input quad (local step j-K+1)
         hist = hq[...]                                   # quad ji-1
         pA0 = zif(jnp.logical_or(ji < 1, ji > nq),
                   hist[:, 3 * c:4 * c])                  # plane 4*ji-1
@@ -450,27 +469,71 @@ def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
             o_ref[:, 0, m] = quad[m].astype(o_ref.dtype).reshape(
                 batch, yz, c)
 
+    if emit_pooled:
+        # MaxPool3d(2) of the LAST block's input quad — the V2V encoder
+        # pools the same tensor its skip block consumes (v2v.py:104-105:
+        # ``skip_x1 = skip_res1(x); x = pool1(x)``).  Block K-2 finalizes
+        # that quad (local step j-K+1) THIS step, so pool it from the
+        # fresh post-ReLU values (clean zero-offset layouts — lane slices
+        # of the hist buffer fail Mosaic relayout in the row shifts)
+        # one grid step before o_ref's write of the same quad.  Pair-max
+        # + split-reshape decimation as in :func:`_res3d_kernel_m2`;
+        # pooled out planes (2q, 2q+1) for quad q = j - (K-1).
+        assert prev_quad is not None, "emit_pooled chain needs >= 2 blocks"
+        pool_scr = scr[4 * n_blocks - 1:]
+
+        @pl.when(jnp.logical_and(j >= n_blocks - 1,
+                                 j <= nq + n_blocks - 2))
+        def _():
+            for m in (0, 1):
+                # Stage the x-pair max through scratch: the quad values
+                # are lane-offset slices of the (rows, 4C) GEMM outputs
+                # and Mosaic cannot relayout offsets through the concat
+                # inside _row_shift_up (elementwise max handles them; a
+                # full-ref read comes back zero-offset).
+                pool_scr[m][...] = jnp.maximum(prev_quad[2 * m],
+                                               prev_quad[2 * m + 1])
+            for m in (0, 1):
+                mx = pool_scr[m][...]
+                mz = jnp.maximum(mx, _row_shift_up(mx, 1))
+                a2 = mz.reshape(rows // 2, 2, c)[:, 0]
+                my = jnp.maximum(a2, _row_shift_up(a2, size_z // 2))
+                b4 = my.reshape(batch * size_y // 2, 2, size_z // 2,
+                                c)[:, 0]
+                po_ref[:, 0, m] = b4.reshape(batch, yz // 4,
+                                             c).astype(po_ref.dtype)
+
 
 def res3d_chain_fused(x: jnp.ndarray, blocks,
                       out_dtype=None, interpret: bool = False,
-                      force_fold: int = None) -> jnp.ndarray:
+                      force_fold: int = None, emit_pooled: bool = False):
     """K consecutive identity-skip Res3D blocks in ONE pallas_call.
 
     Args:
       x: (B, X, Y, Z, C) with X % 4 == 0.
       blocks: sequence of (w1, b1, w2, b2) folded per-block params, all
         with Cin == Cout == C (identity skips — the V2V front_res1..3 /
-        consecutive same-width pattern, v2v.py:141-180).
+        consecutive same-width pattern, v2v.py:141-180).  The FIRST block
+        may instead be (w1, b1, w2, b2, (ws, bs)): a width-changing block
+        with a folded 1x1x1 projection skip (V2V front_res1, 16 -> 32),
+        in which case x has Cin == w1.shape[-2].
+      emit_pooled: also return ``MaxPool3d(2)`` of the LAST block's input
+        (the encoder's ``skip = res(x); x = pool(x)`` pattern when the
+        chain ends in ``skip_res1``) — requires >= 2 blocks.
 
     Returns:
-      (B, X, Y, Z, C).
+      (B, X, Y, Z, C); with ``emit_pooled``, ``(out, pooled)`` where
+      pooled is (B, X/2, Y/2, Z/2, C).
     """
     import os
 
-    b, size_x, size_y, size_z, c = x.shape
+    b, size_x, size_y, size_z, cin = x.shape
     assert size_x % 4 == 0, size_x
     n_blocks = len(blocks)
     assert n_blocks >= 1
+    first_proj = len(blocks[0]) == 5
+    c = blocks[0][0].shape[-1]
+    assert first_proj or cin == c, (cin, c)
     yz = size_y * size_z
     out_dtype = out_dtype or x.dtype
     keep_dtype = (jnp.float32 if os.environ.get("LT_TPU_RES3D_F32_KEEPS")
@@ -489,10 +552,10 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
     rows = fold * yz
     nq = size_x // 4
 
-    x4 = x.reshape(b, size_x, yz, c)
-    x5 = x.reshape(b, nq, 4, yz, c)
+    x4 = x.reshape(b, size_x, yz, cin)
+    x5 = x.reshape(b, nq, 4, yz, cin)
     in_specs = [
-        pl.BlockSpec((fold, 1, yz, c),
+        pl.BlockSpec((fold, 1, yz, cin),
                      functools.partial(
                          lambda d, g, j: (
                              g, jnp.clip(4 * j + d, 0, size_x - 1),
@@ -500,25 +563,37 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
         for d in (-1, 0, 1, 2)
     ]
     in_specs += [
-        pl.BlockSpec((fold, 1, 4, yz, c),
+        pl.BlockSpec((fold, 1, 4, yz, cin),
                      lambda g, j: (g, jnp.clip(j - 1, 0, nq - 1), 0, 0, 0)),
     ]
     operands = [x4, x4, x4, x4, x5]
-    for (w1, b1, w2, b2) in blocks:
+    for bi, blk in enumerate(blocks):
+        w1, b1, w2, b2 = blk[:4]
+        ci = cin if bi == 0 else c  # block 0 may widen (proj skip)
         operands += [pack_weights_s2(w1).astype(x.dtype),
                      pack_weights_s2(w2).astype(x.dtype),
                      b1.reshape(1, c).astype(jnp.float32),
                      b2.reshape(1, c).astype(jnp.float32)]
         in_specs += [
-            pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
+            pl.BlockSpec((18 * ci, 4 * c), lambda g, j: (0, 0)),
             pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
             pl.BlockSpec((1, c), lambda g, j: (0, 0)),
             pl.BlockSpec((1, c), lambda g, j: (0, 0)),
         ]
+    if first_proj:
+        ws, bs = blocks[0][4]
+        operands += [ws.astype(x.dtype),
+                     bs.reshape(1, c).astype(jnp.float32)]
+        in_specs += [pl.BlockSpec((cin, c), lambda g, j: (0, 0)),
+                     pl.BlockSpec((1, c), lambda g, j: (0, 0))]
+
+    if emit_pooled:
+        assert n_blocks >= 2 and size_y % 2 == 0 and size_z % 2 == 0
 
     kernel = functools.partial(
         _res3d_kernel_m2_chain, n_blocks=n_blocks, batch=fold,
-        size_x=size_x, yz=yz, size_y=size_y, size_z=size_z, c=c)
+        size_x=size_x, yz=yz, size_y=size_y, size_z=size_z, c=c,
+        emit_pooled=emit_pooled, cin=cin, first_proj=first_proj)
 
     scratch = []
     for _ in range(n_blocks):
@@ -527,15 +602,27 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
                     pltpu.VMEM((rows, c), x.dtype)]
     for _ in range(n_blocks - 1):
         scratch.append(pltpu.VMEM((rows, 4 * c), x.dtype))
+    if emit_pooled:
+        scratch += [pltpu.VMEM((rows, c), jnp.float32) for _ in range(2)]
+
+    out_specs = pl.BlockSpec(
+        (fold, 1, 4, yz, c),
+        lambda g, j: (g, jnp.clip(j - n_blocks, 0, nq - 1), 0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, nq, 4, yz, c), out_dtype)
+    if emit_pooled:
+        out_specs = [out_specs, pl.BlockSpec(
+            (fold, 1, 2, yz // 4, c),
+            lambda g, j: (g, jnp.clip(j - (n_blocks - 1), 0, nq - 1),
+                          0, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, nq, 2, yz // 4, c), x.dtype)]
 
     out = pl.pallas_call(
         kernel,
         grid=(groups, nq + n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (fold, 1, 4, yz, c),
-            lambda g, j: (g, jnp.clip(j - n_blocks, 0, nq - 1), 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nq, 4, yz, c), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -544,6 +631,10 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
         interpret=interpret,
     )(*operands)
 
+    if emit_pooled:
+        out, pooled = out
+        return (out.reshape(b, size_x, size_y, size_z, c),
+                pooled.reshape(b, size_x // 2, size_y // 2, size_z // 2, c))
     return out.reshape(b, size_x, size_y, size_z, c)
 
 

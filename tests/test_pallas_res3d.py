@@ -180,3 +180,80 @@ def test_res3d_chain_fused(rng, n_blocks):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_res3d_chain_fused_emit_pooled(rng):
+    """Chain emit_pooled: out == K sequential blocks, pooled ==
+    MaxPool3d(2) of the LAST block's input (the encoder's ``skip =
+    skip_res1(x); x = pool(x)`` pattern when the front chain extends into
+    skip_res1, v2v.py:104-105)."""
+    import flax.linen as nn
+
+    c, n_blocks = 32, 3
+    x, block, variables = _init_res_block(rng, c, side=8, batch=2)
+    ref = x
+    blocks = []
+    vs = variables
+    for i in range(n_blocks):
+        if i > 0:
+            _, block, vs = _init_res_block(
+                np.random.RandomState(200 + i), c, side=8, batch=2)
+        last_in = ref
+        ref = block.apply(vs, ref, False)
+        w1, b1, w2, b2 = _folded_res_params(vs, c)
+        blocks.append((w1, b1, w2, b2))
+    ref_pool = nn.max_pool(last_in, (2, 2, 2), strides=(2, 2, 2))
+
+    got, pooled = res3d_chain_fused(x, blocks, interpret=True,
+                                    emit_pooled=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_res3d_chain_fused_first_proj(rng):
+    """Chain headed by a width-changing block (V2V front_res1, 16->32
+    with a folded 1x1x1 projection skip) == sequential flax blocks; with
+    emit_pooled, pooled == MaxPool3d(2) of the LAST block's input."""
+    import flax.linen as nn
+
+    cin, c, side, n_blocks = 16, 32, 8, 3
+    x = jnp.asarray(rng.randn(2, side, side, side, cin), jnp.float32)
+    block0 = Res3DBlock(c)
+    vs0 = block0.init(jax.random.PRNGKey(1), x, False)
+    stats = vs0["batch_stats"]
+    for bn in stats:
+        stats[bn]["BatchNorm_0"]["mean"] = jnp.asarray(
+            rng.randn(c) * 0.1, jnp.float32)
+        stats[bn]["BatchNorm_0"]["var"] = jnp.asarray(
+            1.0 + 0.3 * rng.rand(c), jnp.float32)
+    ref = block0.apply(vs0, x, False)
+    w1, b1, w2, b2 = _folded_res_params(vs0, c)
+    p0 = vs0["params"]
+    bn_p = p0["skip_bn"]["BatchNorm_0"]
+    bn_s = vs0["batch_stats"]["skip_bn"]["BatchNorm_0"]
+    ws, bs = fold_bn(p0["skip_conv"]["kernel"],
+                     p0["skip_conv"].get("bias"),
+                     bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"],
+                     eps=BN_EPS)
+    blocks = [(w1, b1, w2, b2, (ws.reshape(cin, c), bs))]
+
+    for i in range(1, n_blocks):
+        _, block, vs = _init_res_block(
+            np.random.RandomState(300 + i), c, side=side, batch=2)
+        last_in = ref
+        ref = block.apply(vs, ref, False)
+        blocks.append(_folded_res_params(vs, c))
+    ref_pool = nn.max_pool(last_in, (2, 2, 2), strides=(2, 2, 2))
+
+    got = res3d_chain_fused(x, blocks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+    got2, pooled = res3d_chain_fused(x, blocks, interpret=True,
+                                     emit_pooled=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
+                               rtol=5e-4, atol=5e-4)
