@@ -125,6 +125,51 @@ for _k in ("m2", "s1", "q4"):
     case(f"res3d fused [{_k}] 16^3 c32")(lambda k=_k: _res3d_case(k))
 
 
+@case("upsample+res3d+tail chain 16^3 64->32->17")
+def _ups_res3d_case():
+    import jax
+    import jax.numpy as jnp
+
+    from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+
+    rng = np.random.RandomState(0)
+    cin, c, s = 64, 32, 16
+    x = jnp.asarray(rng.randn(1, s, s, s, cin) * 0.5, jnp.bfloat16)
+    skip = jnp.asarray(rng.randn(1, 2 * s, 2 * s, 2 * s, c) * 0.5,
+                       jnp.bfloat16)
+    w8 = jnp.asarray(rng.randn(cin, 8 * c) * 0.1, jnp.float32)
+    b8 = jnp.asarray(np.tile(rng.randn(c) * 0.1, 8), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, c, c) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 3, c, c) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    tw = jnp.asarray(rng.randn(c, 17) * 0.2, jnp.float32)
+    tb = jnp.asarray(rng.randn(17) * 0.1, jnp.float32)
+    got = jax.jit(lambda x: upsample_res3d_fused(
+        x, w8, b8, skip, [(w1, b1, w2, b2)], tail=((tw, tb, False),)))(x)
+
+    # Reference: tap-indexed transposed conv + ReLU + skip, then the res
+    # block, then the tail matmul (all XLA).
+    xf = x.astype(jnp.float32)
+    up = jnp.zeros((1, 2 * s, 2 * s, 2 * s, c), jnp.float32)
+    taps = w8.reshape(cin, 2, 2, 2, c)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                up = up.at[:, dx::2, dy::2, dz::2].set(
+                    xf @ taps[:, dx, dy, dz] + b8[:c])
+    up = jax.nn.relu(up) + skip.astype(jnp.float32)
+
+    def conv(v, w, b):
+        y = jax.lax.conv_general_dilated(
+            v, w, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + b
+    ref = jax.nn.relu(conv(jax.nn.relu(conv(up, w1, b1)), w2, b2) + up)
+    ref = ref @ tw + tb
+    return got, ref, 2e-2
+
+
 @case("conv_mp k7 32^3 32->16")
 def _conv_mp_case():
     import jax

@@ -442,10 +442,16 @@ class Upsample3DBlock(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, skip=None):
+    def __call__(self, x, train: bool, skip=None,
+                 return_folded: bool = False):
         """``skip``: optional residual of the OUTPUT shape added after the
         ReLU (the decoder's ``up(x) + skip``, v2v.py:126-136) — fused into
-        the kernel's finalize on the Pallas path."""
+        the kernel's finalize on the Pallas path.
+
+        ``return_folded``: declare the params and return the packed
+        ``(w8, b8)`` WITHOUT computing — the upsample-headed chain caller
+        (V2VModel back section) feeds them into ONE
+        :func:`lt_tpu.ops.pallas.res3d.upsample_res3d_fused` call."""
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (2, 2, 2, self.features, in_features),
@@ -453,7 +459,7 @@ class Upsample3DBlock(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         bn = BatchNorm(name="bn")
-        if _use_pallas_updown(train, x.shape[1]):
+        if return_folded or _use_pallas_updown(train, x.shape[1]):
             # Fused transposed-conv + folded BN + ReLU kernel: one matmul
             # per plane producing all 8 (dx, dy, dz) taps, interleaved
             # in-VMEM (keeps the V2V chain custom-call-to-custom-call).
@@ -463,6 +469,8 @@ class Upsample3DBlock(nn.Module):
             scale, bn_bias, mean, var = _bn_constants(bn, self.features)
             w8, b8 = pack_upsample_weights(kernel, bias, scale, bn_bias,
                                            mean, var, eps=BN_EPS)
+            if return_folded:
+                return w8, b8
             sk = (None if skip is None
                   else skip.astype(self.compute_dtype))
             return upsample3d_2x(x.astype(self.compute_dtype), w8, b8,
@@ -488,7 +496,8 @@ class EncoderDecoder(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, front_chain=None):
+    def __call__(self, x, train: bool, front_chain=None,
+                 fuse_up1: bool = False):
         dt = self.compute_dtype
         # Encoder levels: `skip = res(x); x = pool(x)` — the skip block
         # emits the pooled tensor from its own kernel (emit_pooled), so
@@ -544,6 +553,13 @@ class EncoderDecoder(nn.Module):
         x = Upsample3DBlock(64, dt, name="decoder_upsample2")(x, train,
                                                               skip2)
         x = Res3DBlock(64, dt, name="decoder_res1")(x, train)
+        if fuse_up1:
+            # The caller (V2VModel back section) chains decoder_upsample1
+            # + the skip1 add + the back blocks in ONE kernel: hand back
+            # the small volume, the folded upsample params, and skip1.
+            up1 = Upsample3DBlock(32, dt, name="decoder_upsample1")(
+                x, train, return_folded=True)
+            return x, up1, skip1
         x = Upsample3DBlock(32, dt, name="decoder_upsample1")(x, train,
                                                               skip1)
         return x
@@ -570,7 +586,7 @@ class V2VModel(nn.Module):
         if self.remat:
             basic = nn.remat(Basic3DBlock, static_argnums=(2,))
             res = nn.remat(Res3DBlock, static_argnums=(2,))
-            encdec = nn.remat(EncoderDecoder, static_argnums=(2,))
+            encdec = nn.remat(EncoderDecoder, static_argnums=(2, 4))
         else:
             basic, res, encdec = Basic3DBlock, Res3DBlock, EncoderDecoder
         x = x.astype(dt)
@@ -615,9 +631,18 @@ class V2VModel(nn.Module):
             x = res(32, dt, name="front_res2")(x, train)
             x = res(32, dt, name="front_res3")(x, train)
 
-        x = encdec(dt, name="encoder_decoder")(x, train, front_chain)
-
         fused_back = _use_pallas_res3d(train, x.shape[1])
+        # Default: chain decoder_upsample1 + skip1-add + back_res + the
+        # k=1 back/tail matmuls in ONE kernel (upsample_res3d_fused) — the
+        # upsampled 64^3 volume never exists in HBM.  LT_TPU_CHAIN_BACK=0
+        # for the separate upsample + back_res kernels.
+        import os
+
+        chain_back = (fused_back and x.shape[1] % 4 == 0
+                      and os.environ.get("LT_TPU_CHAIN_BACK", "1") != "0")
+        enc_out = encdec(dt, name="encoder_decoder")(x, train, front_chain,
+                                                     chain_back)
+        x = enc_out[0] if chain_back else enc_out
         # Unwrapped class on the fused inference path: remat is a training
         # concern, and the static relu flags in ``tail`` must not traverse
         # nn.remat (which would trace them).
@@ -653,7 +678,17 @@ class V2VModel(nn.Module):
             po = out_conv.variables["params"]
             tail.append((po["kernel"].reshape(32, self.output_channels),
                          po["bias"], False))
-            x = back_res(x, train, tuple(tail))
+            if chain_back:
+                from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+
+                x_small, (w8u, b8u), skip1 = enc_out
+                p_back = back_res(jnp.zeros((1, 1, 1, 1, 32), x.dtype),
+                                  train, return_folded=True)
+                x = upsample_res3d_fused(
+                    x_small.astype(dt), w8u, b8u, skip1.astype(dt),
+                    [p_back], tail=tuple(tail), out_dtype=dt)
+            else:
+                x = back_res(x, train, tuple(tail))
         else:
             x = back_res(x, train)
             x = back1(x, train)

@@ -335,6 +335,68 @@ def _res3d_kernel_m2(x_a0, x_a1, x_b0, x_b1, x_skip, w1_ref, w2_ref,
     q2k[...] = q2b[:, 2 * c:4 * c].astype(q2k.dtype)
 
 
+def _m2_step(ji, w4, scr3, pA0, pA1, pB0, pB1, skip_get, *, nq: int,
+             c: int, rows: int, size_y: int, size_z: int, fold: int):
+    """One identity-skip Res3D block's m2 step on pre-masked plane values.
+
+    Shared by the chain kernels (:func:`_res3d_kernel_m2_chain`,
+    :func:`_ups_res3d_kernel`): conv1 over the (pA, pB) plane pairs with
+    the q1 keep carry, conv2 over the ReLU'd pair with the q2 keep carry,
+    finalize quad ``ji - 1`` as relu(vals + b2 + skip).  Returns the
+    4 x (rows, c) f32 post-ReLU quad — garbage when ji < 1, masked by the
+    consumer's plane-id checks.
+    """
+    w1_ref, w2_ref, b1_ref, b2_ref = w4
+    q1k, q2k, r1p = scr3
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def conv_pair(p0, p1, w_ref):
+        return dot(_taps_pair(p0, p1, size_y=size_y, size_z=size_z,
+                              rows=rows, fold=fold), w_ref[...])
+
+    def zif(cond, v):
+        return jnp.where(cond, jnp.zeros_like(v), v)
+
+    q1a = conv_pair(pA0, pA1, w1_ref)
+    q1b = conv_pair(pB0, pB1, w1_ref)
+    b1 = b1_ref[0]
+    k1 = q1k[...].astype(jnp.float32)
+    k1 = zif(ji <= 0, k1)
+    y1 = [
+        jnp.maximum(k1[:, 0:c] + q1a[:, 0:c] + b1, 0.0),
+        jnp.maximum(k1[:, c:2 * c] + q1a[:, c:2 * c] + b1, 0.0),
+        jnp.maximum(q1a[:, 2 * c:3 * c] + q1b[:, 0:c] + b1, 0.0),
+        jnp.maximum(q1a[:, 3 * c:4 * c] + q1b[:, c:2 * c] + b1, 0.0),
+    ]
+    q1k[...] = q1b[:, 2 * c:4 * c].astype(q1k.dtype)
+
+    dt = r1p.dtype
+    r0a = zif(ji < 1, r1p[...])
+    r1a = zif(ji < 1, y1[0]).astype(dt)
+    r0b = zif(ji < 1, y1[1]).astype(dt)
+    r1b = zif(ji >= nq, y1[2]).astype(dt)
+    r1p[...] = y1[3].astype(dt)
+    q2a = conv_pair(r0a, r1a, w2_ref)
+    q2b = conv_pair(r0b, r1b, w2_ref)
+
+    b2 = b2_ref[0]
+    k2 = q2k[...].astype(jnp.float32)
+    k2 = zif(ji <= 0, k2)
+    vals = [
+        k2[:, 0:c] + q2a[:, 0:c],
+        k2[:, c:2 * c] + q2a[:, c:2 * c],
+        q2a[:, 2 * c:3 * c] + q2b[:, 0:c],
+        q2a[:, 3 * c:4 * c] + q2b[:, c:2 * c],
+    ]
+    q2k[...] = q2b[:, 2 * c:4 * c].astype(q2k.dtype)
+    return [jnp.maximum(vals[m] + b2 + skip_get(m), 0.0)
+            for m in range(4)]
+
+
 def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
                            n_blocks: int, batch: int, size_x: int, yz: int,
                            size_y: int, size_z: int, c: int,
@@ -389,44 +451,10 @@ def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
         """One block's m2 step on pre-masked planes; returns the finalized
         quad (4 x (rows, c) f32, post-ReLU) — garbage when ji < 1, masked
         by the consumer's plane-id checks."""
-        w1_ref, w2_ref, b1_ref, b2_ref = w_refs[4 * i:4 * i + 4]
-        q1k, q2k, r1p = scr[3 * i:3 * i + 3]
-        ji = j - i
-
-        q1a = conv_pair(pA0, pA1, w1_ref)
-        q1b = conv_pair(pB0, pB1, w1_ref)
-        b1 = b1_ref[0]
-        k1 = q1k[...].astype(jnp.float32)
-        k1 = zif(ji <= 0, k1)
-        y1 = [
-            jnp.maximum(k1[:, 0:c] + q1a[:, 0:c] + b1, 0.0),
-            jnp.maximum(k1[:, c:2 * c] + q1a[:, c:2 * c] + b1, 0.0),
-            jnp.maximum(q1a[:, 2 * c:3 * c] + q1b[:, 0:c] + b1, 0.0),
-            jnp.maximum(q1a[:, 3 * c:4 * c] + q1b[:, c:2 * c] + b1, 0.0),
-        ]
-        q1k[...] = q1b[:, 2 * c:4 * c].astype(q1k.dtype)
-
-        dt = r1p.dtype
-        r0a = zif(ji < 1, r1p[...])
-        r1a = zif(ji < 1, y1[0]).astype(dt)
-        r0b = zif(ji < 1, y1[1]).astype(dt)
-        r1b = zif(ji >= nq, y1[2]).astype(dt)
-        r1p[...] = y1[3].astype(dt)
-        q2a = conv_pair(r0a, r1a, w2_ref)
-        q2b = conv_pair(r0b, r1b, w2_ref)
-
-        b2 = b2_ref[0]
-        k2 = q2k[...].astype(jnp.float32)
-        k2 = zif(ji <= 0, k2)
-        vals = [
-            k2[:, 0:c] + q2a[:, 0:c],
-            k2[:, c:2 * c] + q2a[:, c:2 * c],
-            q2a[:, 2 * c:3 * c] + q2b[:, 0:c],
-            q2a[:, 3 * c:4 * c] + q2b[:, c:2 * c],
-        ]
-        q2k[...] = q2b[:, 2 * c:4 * c].astype(q2k.dtype)
-        return [jnp.maximum(vals[m] + b2 + skip_get(m), 0.0)
-                for m in range(4)]
+        return _m2_step(j - i, w_refs[4 * i:4 * i + 4],
+                        scr[3 * i:3 * i + 3], pA0, pA1, pB0, pB1, skip_get,
+                        nq=nq, c=c, rows=rows, size_y=size_y,
+                        size_z=size_z, fold=batch)
 
     # Block 0: inputs/skip from the HBM refs (width cin; proj skip when
     # the chain starts at a width-changing block, e.g. V2V front_res1).
@@ -835,4 +863,216 @@ def res3d_block_fused(
         return (out.reshape(b, size_x, size_y, size_z, out_c),
                 pooled.reshape(b, size_x // 2, size_y // 2, size_z // 2,
                                cin))
+    return out.reshape(b, size_x, size_y, size_z, out_c)
+
+
+def _ups_res3d_kernel(x0_ref, x1_ref, skip_ref, wu_ref, bu_ref, *rest,
+                      n_blocks: int, batch: int, xs: int, yzs: int,
+                      yz: int, size_y: int, size_z: int, cin: int, c: int,
+                      tail_relu: tuple):
+    """ConvTranspose3d(2,2) head + K chained Res3D blocks + tail, one kernel.
+
+    Per grid step j: upsample small planes (2j, 2j+1) into output quad j
+    (the head has NO pipeline latency — it emits quad j at step j), add
+    the decoder skip quad, then run the K identity-skip blocks with the
+    m2 schedule shifted by their block index (block i finalizes quad
+    j - i - 1; grid = X/4 + K).  The last block's quad passes through the
+    per-voxel ``tail`` matmuls (V2V back_basic1/2 + output conv) before
+    the o_ref write.  Semantics: /root/reference/mvn/models/v2v.py:54-66
+    (Upsample3DBlock) + :128 (`up(x) + skip`) + :160-169 (back layers).
+    """
+    rest = list(rest)
+    w_refs = rest[:4 * n_blocks]
+    idx = 4 * n_blocks
+    n_tail = len(tail_relu)
+    tail_refs = rest[idx:idx + 2 * n_tail]
+    o_ref = rest[idx + 2 * n_tail]
+    scr = rest[idx + 2 * n_tail + 1:]
+    hist_scr = scr[3 * n_blocks:4 * n_blocks]
+    zb, yb = scr[4 * n_blocks], scr[4 * n_blocks + 1]
+    j = pl.program_id(1)
+    rows = batch * yz
+    rows_s = batch * yzs
+    nq = xs // 2  # output quads == X/4 == Xs/2
+
+    def dot(lhs, rhs):
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def zif(cond, v):
+        return jnp.where(cond, jnp.zeros_like(v), v)
+
+    # Head: 2 small planes -> output quad j.  Taps (dx, dy, dz) from ONE
+    # GEMM column block each; z/y interleave via strided scratch stores
+    # (same schedule as updown._upsample_kernel, here emitting 4 planes).
+    def tap(plane, t):
+        q = dot(plane, wu_ref[t])
+        return jnp.maximum(q + bu_ref[t], 0.0)
+
+    quad = []
+    for sp in (0, 1):
+        plane = (x0_ref if sp == 0 else x1_ref)[:, 0].reshape(rows_s, cin)
+        for dx in (0, 1):
+            m = 2 * sp + dx
+            vs = []
+            for dy in (0, 1):
+                base = dx * 4 + dy * 2
+                zb[::2] = tap(plane, base)
+                zb[1::2] = tap(plane, base + 1)
+                vs.append(zb[...].reshape(batch * size_y // 2, size_z, c))
+            yb[::2] = vs[0]
+            yb[1::2] = vs[1]
+            out = yb[...].reshape(rows, c)
+            out = out + skip_ref[:, 0, m].reshape(rows, c).astype(
+                jnp.float32)
+            quad.append(out)
+
+    for i in range(n_blocks):
+        hq = hist_scr[i]
+        ji = j - i
+        hist = hq[...]                                   # quad ji-1
+        pA0 = zif(jnp.logical_or(ji < 1, ji > nq),
+                  hist[:, 3 * c:4 * c])                  # plane 4*ji-1
+        drain = jnp.logical_or(ji < 0, ji >= nq)
+        dt = hq.dtype
+        pA1 = zif(drain, quad[0]).astype(dt)
+        pB0 = zif(drain, quad[1]).astype(dt)
+        pB1 = zif(drain, quad[2]).astype(dt)
+        new_hist = jnp.concatenate(quad, axis=-1).astype(dt)
+        quad = _m2_step(ji, w_refs[4 * i:4 * i + 4], scr[3 * i:3 * i + 3],
+                        pA0, pA1, pB0, pB1,
+                        lambda m, h=hist: h[:, m * c:(m + 1) * c]
+                        .astype(jnp.float32),
+                        nq=nq, c=c, rows=rows, size_y=size_y,
+                        size_z=size_z, fold=batch)
+        hq[...] = new_hist
+
+    @pl.when(j >= n_blocks)
+    def _():
+        for m in range(4):
+            v = quad[m]
+            for t, relu_t in enumerate(tail_relu):
+                tw, tb = tail_refs[2 * t], tail_refs[2 * t + 1]
+                v = dot(v.astype(tw.dtype), tw[...]) + tb[0]
+                if relu_t:
+                    v = jnp.maximum(v, 0.0)
+            o_ref[:, 0, m] = v.astype(o_ref.dtype).reshape(
+                batch, yz, o_ref.shape[-1])
+
+
+def upsample_res3d_fused(x: jnp.ndarray, w8: jnp.ndarray, b8: jnp.ndarray,
+                         skip: jnp.ndarray, blocks,
+                         tail: Sequence[Tuple[jnp.ndarray, jnp.ndarray,
+                                              bool]] = (),
+                         out_dtype=None, interpret: bool = False,
+                         force_fold: int = None) -> jnp.ndarray:
+    """Upsample3DBlock + skip-add + K Res3D blocks + tail in ONE kernel.
+
+    The V2V decoder's final ``up(x) + skip1`` (v2v.py:128) chained into the
+    back section (back_res + two k=1 Basic3D blocks + the output conv,
+    v2v.py:160-169): the 2X^3 upsampled volume and every inter-block volume
+    never round-trip HBM.
+
+    Args:
+      x: (B, Xs, Ys, Zs, Cin) with Xs % 2 == 0 — the small decoder volume.
+      w8: (Cin, 8*C) packed ConvTranspose taps + folded BN
+        (:func:`lt_tpu.ops.pallas.updown.pack_upsample_weights`).
+      b8: (8*C,) folded bias.
+      skip: (B, 2Xs, 2Ys, 2Zs, C) residual added after the head's ReLU.
+      blocks: folded (w1, b1, w2, b2) per identity-skip Res3D block
+        (Cin == Cout == C).
+      tail: ((w (C_i, C_o), b (C_o,), relu), ...) per-voxel matmuls after
+        the last block.
+
+    Returns:
+      (B, 2Xs, 2Ys, 2Zs, C_out) where C_out is the last tail width (or C).
+    """
+    b, xs, ys, zs, cin = x.shape
+    assert xs % 2 == 0, xs
+    c = w8.shape[1] // 8
+    size_x, size_y, size_z = 2 * xs, 2 * ys, 2 * zs
+    yzs, yz = ys * zs, size_y * size_z
+    n_blocks = len(blocks)
+    assert n_blocks >= 1
+    for (w1, _, _, _) in blocks:
+        assert w1.shape[-2] == w1.shape[-1] == c, "identity-skip blocks"
+    out_dtype = out_dtype or x.dtype
+    out_c = tail[-1][0].shape[-1] if tail else c
+    import os
+
+    keep_dtype = (jnp.float32 if os.environ.get("LT_TPU_RES3D_F32_KEEPS")
+                  or x.dtype == jnp.float32 else x.dtype)
+
+    fold = force_fold if force_fold is not None else (1 if yz >= 4096 else b)
+    assert b % fold == 0, (b, fold)
+    groups = b // fold
+    rows = fold * yz
+    nq = xs // 2
+
+    xr = x.reshape(b, xs, yzs, cin)
+    in_specs = [
+        pl.BlockSpec((fold, 1, yzs, cin),
+                     lambda g, j: (g, jnp.clip(2 * j, 0, xs - 1), 0, 0)),
+        pl.BlockSpec((fold, 1, yzs, cin),
+                     lambda g, j: (g, jnp.clip(2 * j + 1, 0, xs - 1), 0, 0)),
+        pl.BlockSpec((fold, 1, 4, yz, c),
+                     lambda g, j: (g, jnp.clip(j, 0, nq - 1), 0, 0, 0)),
+        pl.BlockSpec((8, cin, c), lambda g, j: (0, 0, 0)),
+        pl.BlockSpec((8, 1, c), lambda g, j: (0, 0, 0)),
+    ]
+    operands = [xr, xr, skip.reshape(b, nq, 4, yz, c),
+                w8.reshape(cin, 8, c).transpose(1, 0, 2).astype(x.dtype),
+                b8.reshape(8, 1, c).astype(jnp.float32)]
+    for (w1, b1, w2, b2) in blocks:
+        operands += [pack_weights_s2(w1).astype(x.dtype),
+                     pack_weights_s2(w2).astype(x.dtype),
+                     b1.reshape(1, c).astype(jnp.float32),
+                     b2.reshape(1, c).astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
+            pl.BlockSpec((18 * c, 4 * c), lambda g, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, j: (0, 0)),
+        ]
+    tail_relu = []
+    for (tw, tb, trelu) in tail:
+        ci, co = tw.shape
+        operands += [tw.astype(x.dtype),
+                     tb.reshape(1, co).astype(jnp.float32)]
+        in_specs += [pl.BlockSpec((ci, co), lambda g, j: (0, 0)),
+                     pl.BlockSpec((1, co), lambda g, j: (0, 0))]
+        tail_relu.append(bool(trelu))
+
+    kernel = functools.partial(
+        _ups_res3d_kernel, n_blocks=n_blocks, batch=fold, xs=xs, yzs=yzs,
+        yz=yz, size_y=size_y, size_z=size_z, cin=cin, c=c,
+        tail_relu=tuple(tail_relu))
+
+    scratch = []
+    for _ in range(n_blocks):
+        scratch += [pltpu.VMEM((rows, 2 * c), keep_dtype),
+                    pltpu.VMEM((rows, 2 * c), keep_dtype),
+                    pltpu.VMEM((rows, c), x.dtype)]
+    for _ in range(n_blocks):
+        scratch.append(pltpu.VMEM((rows, 4 * c), x.dtype))
+    scratch += [pltpu.VMEM((fold * yz // 2, c), jnp.float32),   # zb
+                pltpu.VMEM((fold * size_y, size_z, c),
+                           jnp.float32)]                        # yb
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(groups, nq + n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (fold, 1, 4, yz, out_c),
+            lambda g, j: (g, jnp.clip(j - n_blocks, 0, nq - 1), 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq, 4, yz, out_c), out_dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
     return out.reshape(b, size_x, size_y, size_z, out_c)

@@ -257,3 +257,48 @@ def test_res3d_chain_fused_first_proj(rng):
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_upsample_res3d_fused(rng):
+    """ConvTranspose3d(2,2)+BN+ReLU + skip-add + Res3D + tail in one
+    kernel == the sequential flax modules (the V2V decoder's final
+    ``up(x) + skip1`` chained into the back section, v2v.py:126-169)."""
+    from lt_tpu.models.v2v import Upsample3DBlock
+    from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+    from lt_tpu.ops.pallas.updown import pack_upsample_weights
+
+    cin, c, side = 64, 32, 4  # small volume side; output side 8
+    x = jnp.asarray(rng.randn(2, side, side, side, cin), jnp.float32)
+    skip = jnp.asarray(rng.randn(2, 2 * side, 2 * side, 2 * side, c),
+                       jnp.float32)
+
+    up = Upsample3DBlock(c)
+    uvs = up.init(jax.random.PRNGKey(3), x, False)
+    ubs = uvs["batch_stats"]["bn"]["BatchNorm_0"]
+    ubs["mean"] = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    ubs["var"] = jnp.asarray(1.0 + 0.3 * rng.rand(c), jnp.float32)
+    ref = up.apply(uvs, x, False, skip)
+
+    _, block, bvs = _init_res_block(np.random.RandomState(42), c,
+                                    side=2 * side, batch=2)
+    ref = block.apply(bvs, ref, False)
+
+    tail = []
+    for i, (co, relu_t) in enumerate([(c, True), (17, False)]):
+        wt = jnp.asarray(rng.randn(ref.shape[-1], co) * 0.2, jnp.float32)
+        bt = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+        ref = ref @ wt + bt
+        if relu_t:
+            ref = jax.nn.relu(ref)
+        tail.append((wt, bt, relu_t))
+
+    up_p = uvs["params"]
+    up_bn = up_p["bn"]["BatchNorm_0"]
+    w8, b8 = pack_upsample_weights(up_p["kernel"], up_p["bias"],
+                                   up_bn["scale"], up_bn["bias"],
+                                   ubs["mean"], ubs["var"], eps=BN_EPS)
+    blocks = [_folded_res_params(bvs, c)]
+    got = upsample_res3d_fused(x, w8, b8, skip, blocks, tail=tuple(tail),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
