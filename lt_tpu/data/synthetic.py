@@ -48,8 +48,16 @@ class SyntheticMultiViewDataset:
                  world_radius: float = 500.0,
                  camera_distance: float = 4000.0,
                  norm_image: bool = True,
-                 seed: int = 0):
+                 seed: int = 0,
+                 sample_offset: int = 0):
+        """``seed`` fixes the VISUAL DOMAIN (camera ring + joint colors) —
+        train and val splits must share it or generalization is impossible
+        by construction (a val split with different colors/cameras is a
+        different task, not held-out data).  ``sample_offset`` disjoints
+        the splits' pose streams: sample i draws its skeleton from
+        ``seed*100003 + sample_offset + i``."""
         self.n_samples = n_samples
+        self.sample_offset = sample_offset
         self.n_views = n_views
         self.num_joints = num_joints
         self.image_size = image_size
@@ -81,7 +89,8 @@ class SyntheticMultiViewDataset:
         return self.n_samples
 
     def keypoints_world(self, idx: int) -> np.ndarray:
-        rng = np.random.RandomState(self.seed * 100003 + idx)
+        rng = np.random.RandomState(self.seed * 100003
+                                    + self.sample_offset + idx)
         pelvis = rng.uniform(-self.world_radius, self.world_radius, 3)
         pelvis[2] = rng.uniform(800.0, 1200.0)
         offsets = rng.uniform(-self.skeleton_radius, self.skeleton_radius,

@@ -140,16 +140,19 @@ def make_datasets(config, is_train: bool = True):
     if kind == "synthetic":
         from lt_tpu.data.synthetic import SyntheticMultiViewDataset
 
-        def build(split_cfg, seed):
+        def build(split_cfg, sample_offset):
+            # Both splits share seed 0 — the visual domain (camera ring,
+            # joint colors) must be identical or val measures a different
+            # task; the splits' POSES are disjoint via sample_offset.
             return SyntheticMultiViewDataset(
                 n_samples=split_cfg.get("n_samples", 128),
                 n_views=config.dataset.get("n_views", 4),
                 num_joints=config.model.backbone.num_joints,
                 image_size=config.get("image_shape", (128, 128))[0],
-                seed=seed)
+                seed=0, sample_offset=sample_offset)
 
         train_ds = build(config.dataset.train, 0) if is_train else None
-        val_ds = build(config.dataset.val, 1)
+        val_ds = build(config.dataset.val, 1_000_000)
         return train_ds, val_ds
 
     raise NotImplementedError(f"Unknown dataset kind: {kind}")
