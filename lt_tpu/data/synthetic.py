@@ -83,7 +83,17 @@ class SyntheticMultiViewDataset:
             self.cameras.append(_look_at_camera(center, focal, image_size))
 
         # Per-joint colors (fixed): joint identity signal for the backbone.
-        self.joint_colors = rng.uniform(0.3, 1.0, (num_joints, 3))
+        # Evenly spaced hues at full saturation — random RGB triples from
+        # [0.3, 1]^3 gave pairs ~0.35 apart, too close for the net to
+        # separate once blobs overlap (measured r4: alg training stalled
+        # at pelvis-only MPJPE with the random palette).
+        import colorsys
+
+        hues = (np.arange(num_joints) / num_joints
+                + rng.uniform(0, 1 / num_joints))
+        self.joint_colors = np.array(
+            [colorsys.hsv_to_rgb(h % 1.0, 1.0, 1.0) for h in hues],
+            np.float32)
 
     def __len__(self):
         return self.n_samples
@@ -107,11 +117,17 @@ class SyntheticMultiViewDataset:
 
         s = self.image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-        image = np.zeros((s, s, 3), np.float32)
-        for j, (u, v) in enumerate(uv):
-            blob = np.exp(-((xx - u) ** 2 + (yy - v) ** 2)
-                          / (2 * self.blob_sigma ** 2))
-            image += blob[..., None] * self.joint_colors[j]
+        # Winner-takes-pixel compositing: each pixel shows the color of the
+        # nearest (strongest) blob.  Additive blending clipped at 255
+        # saturated overlapping regions to white, destroying the per-joint
+        # color identity exactly where joints crowd (measured r4: with
+        # additive+clip the backbone could learn only the cluster center).
+        blobs = np.exp(-((xx[None] - uv[:, 0, None, None]) ** 2
+                         + (yy[None] - uv[:, 1, None, None]) ** 2)
+                       / (2 * self.blob_sigma ** 2))      # (J, s, s)
+        winner = blobs.argmax(0)                          # (s, s)
+        strength = np.take_along_axis(blobs, winner[None], 0)[0]
+        image = strength[..., None] * self.joint_colors[winner]
         image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
         return image
 
