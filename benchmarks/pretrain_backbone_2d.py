@@ -1,0 +1,142 @@
+"""2D-heatmap-supervised backbone pretraining on the synthetic set.
+
+The reference's volumetric workflow never starts from a random backbone:
+every config chains from an ImageNet+MPII-pretrained 2D pose net
+(/root/reference/mvn/models/pose_resnet.py:338-375 loads pretrained
+weights; train/human36m_vol_softmax.yaml points model.backbone.checkpoint
+at a trained model).  The container ships no MPII/ImageNet weights, so
+this script is the synthetic-domain equivalent: supervise the backbone's
+heatmap head directly with Gaussian targets rendered at the ground-truth
+2D projections, then save an Orbax checkpoint consumable by
+``model.backbone.checkpoint`` (engine/train.py init_model_state).
+
+    python benchmarks/pretrain_backbone_2d.py [steps] [out_dir]
+
+Prints the mean 2D argmax error (heatmap px) every 50 steps; saves the
+checkpoint under ``out_dir/checkpoints/0000`` so resolve_checkpoint_dir
+finds it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import namedtuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from lt_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from lt_tpu.data.batch import BatchIterator  # noqa: E402
+from lt_tpu.data.synthetic import SyntheticMultiViewDataset  # noqa: E402
+from lt_tpu.engine import checkpoint as ckpt  # noqa: E402
+from lt_tpu.models.backbone import PoseResNet  # noqa: E402
+
+BBState = namedtuple("BBState", ["params", "batch_stats", "step"])
+
+IMAGE_SIZE = 128
+HEATMAP_STRIDE = 4  # PoseResNet: /32 trunk, x8 deconv head
+SIGMA = 1.5         # target Gaussian sigma, heatmap px
+
+
+def gt_2d_heatmap_px(batch):
+    """(B, V, J, 2) ground-truth joint positions in heatmap pixels."""
+    kp = batch["keypoints_3d"][:, :, :3]                     # (B, J, 3)
+    proj = batch["proj_matrices"]                            # (B, V, 3, 4)
+    homo = np.concatenate([kp, np.ones_like(kp[..., :1])], -1)
+    uvw = np.einsum("bvij,bkj->bvki", proj, homo)            # (B, V, J, 3)
+    uv = uvw[..., :2] / uvw[..., 2:3]
+    return uv / HEATMAP_STRIDE
+
+
+def make_targets(uv_hm, hm_size):
+    """Gaussian target maps (N, h, w, J) from (N, J, 2) positions."""
+    yy, xx = jnp.mgrid[0:hm_size, 0:hm_size].astype(jnp.float32)
+    d2 = ((xx[None, None] - uv_hm[:, :, 0, None, None]) ** 2
+          + (yy[None, None] - uv_hm[:, :, 1, None, None]) ** 2)
+    return jnp.exp(-d2 / (2 * SIGMA ** 2)).transpose(0, 2, 3, 1)
+
+
+def main(n_steps: int = 600, out_dir: str = "/tmp/backbone2d",
+         num_layers: int = 18, batch_size: int = 8, log_every: int = 50):
+    ds = SyntheticMultiViewDataset(n_samples=256, n_views=4, num_joints=17,
+                                   image_size=IMAGE_SIZE, cache_images=True)
+    it = BatchIterator(ds, batch_size, shuffle=True, seed=0)
+
+    model = PoseResNet(num_joints=17, num_layers=num_layers)
+    hm = IMAGE_SIZE // HEATMAP_STRIDE
+
+    batch = next(it.epoch(0))
+    images0 = jnp.asarray(
+        batch["images"].reshape(-1, IMAGE_SIZE, IMAGE_SIZE, 3))
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), images0, True)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, images, targets):
+        (heat, *_), mut = model.apply(
+            {"params": p, "batch_stats": bs}, images, True,
+            mutable=["batch_stats"])
+        return jnp.mean((heat - targets) ** 2), mut["batch_stats"]
+
+    @jax.jit
+    def step(p, bs, st, images, targets):
+        (l, bs2), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, images, targets)
+        u, st = tx.update(g, st)
+        return optax.apply_updates(p, u), bs2, st, l
+
+    @jax.jit
+    def argmax_err(p, bs, images, uv):
+        heat, *_ = model.apply({"params": p, "batch_stats": bs},
+                               images, False)
+        flat = heat.transpose(0, 3, 1, 2).reshape(heat.shape[0], 17, -1)
+        idx = jnp.argmax(flat, -1)
+        pred = jnp.stack([idx % hm, idx // hm], -1).astype(jnp.float32)
+        return jnp.mean(jnp.linalg.norm(pred - uv, axis=-1))
+
+    i = 0
+    epoch = 0
+    while i < n_steps:
+        for batch in it.epoch(epoch):
+            if i >= n_steps:
+                break
+            images = jnp.asarray(
+                batch["images"].reshape(-1, IMAGE_SIZE, IMAGE_SIZE, 3))
+            uv = jnp.asarray(
+                gt_2d_heatmap_px(batch).reshape(-1, 17, 2), jnp.float32)
+            targets = make_targets(uv, hm)
+            params, bstats, opt_state, l = step(params, bstats, opt_state,
+                                                images, targets)
+            if i % log_every == 0 or i == n_steps - 1:
+                err = argmax_err(params, bstats, images, uv)
+                print(f"step {i}: loss {float(l):.5f} "
+                      f"argmax_err {float(err):.2f} hm px", flush=True)
+            i += 1
+        epoch += 1
+
+    cdir = os.path.join(out_dir, "checkpoints", "0000")
+    os.makedirs(cdir, exist_ok=True)
+    state = BBState(params={"backbone": jax.device_get(params)},
+                    batch_stats={"backbone": jax.device_get(bstats)},
+                    step=np.int64(n_steps))
+    ckpt.save_checkpoint(cdir, state)
+    print("SAVED", cdir, flush=True)
+    return out_dir
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/backbone2d"
+    main(steps, out)

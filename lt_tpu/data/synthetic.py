@@ -49,7 +49,8 @@ class SyntheticMultiViewDataset:
                  camera_distance: float = 4000.0,
                  norm_image: bool = True,
                  seed: int = 0,
-                 sample_offset: int = 0):
+                 sample_offset: int = 0,
+                 cache_images: bool = False):
         """``seed`` fixes the VISUAL DOMAIN (camera ring + joint colors) —
         train and val splits must share it or generalization is impossible
         by construction (a val split with different colors/cameras is a
@@ -67,6 +68,11 @@ class SyntheticMultiViewDataset:
         self.world_radius = world_radius
         self.norm_image = norm_image
         self.seed = seed
+        # Rendering dominates epoch time once train steps are on-device
+        # (~20 ms/image on host); samples are deterministic in idx, so an
+        # in-memory cache makes re-epochs free (256 samples x 4 views at
+        # 128^2 uint8 = 50 MB).
+        self._image_cache: Optional[dict] = {} if cache_images else None
 
         rng = np.random.RandomState(seed)
         # Fixed camera ring (shared across samples, like a capture studio).
@@ -131,13 +137,22 @@ class SyntheticMultiViewDataset:
         image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
         return image
 
+    def _render_views(self, idx: int, keypoints: np.ndarray):
+        if self._image_cache is not None and idx in self._image_cache:
+            return self._image_cache[idx]
+        views = [self._render_view(keypoints, v) for v in range(self.n_views)]
+        if self._image_cache is not None:
+            self._image_cache[idx] = views
+        return views
+
     def __getitem__(self, idx):
         keypoints = self.keypoints_world(idx)
         sample = {"images": [], "detections": [], "cameras_R": [],
                   "cameras_t": [], "cameras_K": [], "proj_matrices": [],
                   "view_valid": []}
+        rendered = self._render_views(idx, keypoints)
         for view in range(self.n_views):
-            image = self._render_view(keypoints, view)
+            image = rendered[view]
             if self.norm_image:
                 image = img_utils.normalize_image(image)
             R, t, K = self.cameras[view]

@@ -149,7 +149,8 @@ def make_datasets(config, is_train: bool = True):
                 n_views=config.dataset.get("n_views", 4),
                 num_joints=config.model.backbone.num_joints,
                 image_size=config.get("image_shape", (128, 128))[0],
-                seed=0, sample_offset=sample_offset)
+                seed=0, sample_offset=sample_offset,
+                cache_images=split_cfg.get("cache_images", True))
 
         train_ds = build(config.dataset.train, 0) if is_train else None
         val_ds = build(config.dataset.val, 1_000_000)

@@ -502,6 +502,47 @@ class EncoderDecoder(nn.Module):
         # Encoder levels: `skip = res(x); x = pool(x)` — the skip block
         # emits the pooled tensor from its own kernel (emit_pooled), so
         # each level's pool costs no separate HBM pass on the Pallas path.
+        import os
+
+        deep_chain = (_use_pallas_res3d(train, x.shape[1])
+                      and os.environ.get("LT_TPU_CHAIN_DEEP", "1") != "0")
+
+        def enc_pair(feats, res_name, skip_name, x):
+            """``x = res(x); skip = skip_res(x); x = pool(x)`` — on the
+            chain path the pair runs as ONE pallas_call (proj-headed when
+            res widens) with the inter-block volume never in HBM and the
+            pool emitted from the resident blocks."""
+            if deep_chain and x.shape[1] % 4 == 0:
+                from lt_tpu.ops.pallas.res3d import res3d_chain_fused
+
+                p1 = Res3DBlock(feats, dt, name=res_name)(
+                    x, train, return_folded=True)
+                xd = jnp.zeros((1, 1, 1, 1, feats), x.dtype)
+                p2 = Res3DBlock(feats, dt, name=skip_name)(
+                    xd, train, return_folded=True)
+                return res3d_chain_fused(x.astype(dt), [p1, p2],
+                                         out_dtype=dt, emit_pooled=True)
+            x = Res3DBlock(feats, dt, name=res_name)(x, train)
+            return Res3DBlock(feats, dt, name=skip_name)(
+                x, train, emit_pooled=True)
+
+        def dec_pair(up_feats, up_name, res_name, x, skip):
+            """``x = up(x) + skip; x = res(x)`` as ONE pallas_call (the
+            upsampled volume never round-trips HBM)."""
+            if deep_chain and x.shape[1] % 2 == 0:
+                from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+
+                w8, b8 = Upsample3DBlock(up_feats, dt, name=up_name)(
+                    x, train, return_folded=True)
+                xd = jnp.zeros((1, 1, 1, 1, up_feats), x.dtype)
+                pr = Res3DBlock(up_feats, dt, name=res_name)(
+                    xd, train, return_folded=True)
+                return upsample_res3d_fused(x.astype(dt), w8, b8,
+                                            skip.astype(dt), [pr],
+                                            out_dtype=dt)
+            x = Upsample3DBlock(up_feats, dt, name=up_name)(x, train, skip)
+            return Res3DBlock(up_feats, dt, name=res_name)(x, train)
+
         if front_chain is not None:
             # The V2V front blocks and skip_res1 all act on the same
             # 64^3 x 32 volume: chain them (+ the encoder pool) in ONE
@@ -522,37 +563,22 @@ class EncoderDecoder(nn.Module):
         else:
             skip1, x = Res3DBlock(32, dt, name="skip_res1")(
                 x, train, emit_pooled=True)
-        x = Res3DBlock(64, dt, name="encoder_res1")(x, train)
-        skip2, x = Res3DBlock(64, dt, name="skip_res2")(
-            x, train, emit_pooled=True)
-        x = Res3DBlock(128, dt, name="encoder_res2")(x, train)
-        skip3, x = Res3DBlock(128, dt, name="skip_res3")(
-            x, train, emit_pooled=True)
-        x = Res3DBlock(128, dt, name="encoder_res3")(x, train)
-        skip4, x = Res3DBlock(128, dt, name="skip_res4")(
-            x, train, emit_pooled=True)
-        x = Res3DBlock(128, dt, name="encoder_res4")(x, train)
-        skip5, x = Res3DBlock(128, dt, name="skip_res5")(
-            x, train, emit_pooled=True)
+        skip2, x = enc_pair(64, "encoder_res1", "skip_res2", x)
+        skip3, x = enc_pair(128, "encoder_res2", "skip_res3", x)
+        skip4, x = enc_pair(128, "encoder_res3", "skip_res4", x)
+        skip5, x = enc_pair(128, "encoder_res4", "skip_res5", x)
         x = Res3DBlock(128, dt, name="encoder_res5")(x, train)
 
         x = Res3DBlock(128, dt, name="mid_res")(x, train)
 
-        # Decoder levels: the `up(x) + skip` residual adds fuse into the
-        # upsample kernels' finalize.
+        # Decoder levels: each `up(x) + skip` chains with the res block
+        # that follows it (dec_pair); on the unfused path the residual
+        # adds still fuse into the upsample kernels' finalize.
         x = Res3DBlock(128, dt, name="decoder_res5")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample5")(x, train,
-                                                               skip5)
-        x = Res3DBlock(128, dt, name="decoder_res4")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample4")(x, train,
-                                                               skip4)
-        x = Res3DBlock(128, dt, name="decoder_res3")(x, train)
-        x = Upsample3DBlock(128, dt, name="decoder_upsample3")(x, train,
-                                                               skip3)
-        x = Res3DBlock(128, dt, name="decoder_res2")(x, train)
-        x = Upsample3DBlock(64, dt, name="decoder_upsample2")(x, train,
-                                                              skip2)
-        x = Res3DBlock(64, dt, name="decoder_res1")(x, train)
+        x = dec_pair(128, "decoder_upsample5", "decoder_res4", x, skip5)
+        x = dec_pair(128, "decoder_upsample4", "decoder_res3", x, skip4)
+        x = dec_pair(128, "decoder_upsample3", "decoder_res2", x, skip3)
+        x = dec_pair(64, "decoder_upsample2", "decoder_res1", x, skip2)
         if fuse_up1:
             # The caller (V2VModel back section) chains decoder_upsample1
             # + the skip1 add + the back blocks in ONE kernel: hand back

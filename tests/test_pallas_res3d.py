@@ -302,3 +302,80 @@ def test_upsample_res3d_fused(rng):
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_enc_pair_chain_shapes(rng):
+    """The V2V deep-level encoder pairs (enc_pair in models/v2v.py:
+    ``x = res(x); skip = skip_res(x); x = pool(x)`` as ONE proj-headed
+    chain) at their real edge shapes: widening 32->64 and the nq=1 case
+    (side 4, the L5 pair's volume)."""
+    import flax.linen as nn
+
+    for cin, c, side in [(32, 64, 8), (128, 128, 4)]:
+        x = jnp.asarray(rng.randn(2, side, side, side, cin), jnp.float32)
+        block0 = Res3DBlock(c)
+        vs0 = block0.init(jax.random.PRNGKey(7), x, False)
+        for bn in vs0["batch_stats"]:
+            vs0["batch_stats"][bn]["BatchNorm_0"]["mean"] = jnp.asarray(
+                rng.randn(c) * 0.1, jnp.float32)
+            vs0["batch_stats"][bn]["BatchNorm_0"]["var"] = jnp.asarray(
+                1.0 + 0.3 * rng.rand(c), jnp.float32)
+        mid = block0.apply(vs0, x, False)
+        p0 = list(_folded_res_params(vs0, c))
+        if cin != c:
+            bn_p = vs0["params"]["skip_bn"]["BatchNorm_0"]
+            bn_s = vs0["batch_stats"]["skip_bn"]["BatchNorm_0"]
+            ws, bs = fold_bn(vs0["params"]["skip_conv"]["kernel"],
+                             vs0["params"]["skip_conv"].get("bias"),
+                             bn_p["scale"], bn_p["bias"],
+                             bn_s["mean"], bn_s["var"], eps=BN_EPS)
+            p0.append((ws.reshape(cin, c), bs))
+        _, block1, vs1 = _init_res_block(np.random.RandomState(17), c,
+                                         side=side, batch=2)
+        ref_skip = block1.apply(vs1, mid, False)
+        ref_pool = nn.max_pool(mid, (2, 2, 2), strides=(2, 2, 2))
+
+        got_skip, got_pool = res3d_chain_fused(
+            x, [tuple(p0), _folded_res_params(vs1, c)],
+            interpret=True, emit_pooled=True)
+        np.testing.assert_allclose(np.asarray(got_skip),
+                                   np.asarray(ref_skip),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(got_pool),
+                                   np.asarray(ref_pool),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_dec_pair_chain_shapes(rng):
+    """The V2V deep-level decoder pairs (dec_pair in models/v2v.py:
+    ``x = up(x) + skip; x = res(x)`` as ONE kernel) at their real edge
+    shapes: xs=2 with cin == c == 128 (the up5 pair) and the widening-down
+    16^3 -> 32^3 C=64 case (the up2 pair)."""
+    from lt_tpu.models.v2v import Upsample3DBlock
+    from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+    from lt_tpu.ops.pallas.updown import pack_upsample_weights
+
+    for cin, c, side in [(128, 128, 2), (128, 64, 4)]:
+        x = jnp.asarray(rng.randn(2, side, side, side, cin), jnp.float32)
+        skip = jnp.asarray(
+            rng.randn(2, 2 * side, 2 * side, 2 * side, c), jnp.float32)
+        up = Upsample3DBlock(c)
+        uvs = up.init(jax.random.PRNGKey(3), x, False)
+        ubs = uvs["batch_stats"]["bn"]["BatchNorm_0"]
+        ubs["mean"] = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        ubs["var"] = jnp.asarray(1.0 + 0.3 * rng.rand(c), jnp.float32)
+        ref = up.apply(uvs, x, False, skip)
+        _, block, bvs = _init_res_block(np.random.RandomState(23), c,
+                                        side=2 * side, batch=2)
+        ref = block.apply(bvs, ref, False)
+
+        up_p = uvs["params"]
+        up_bn = up_p["bn"]["BatchNorm_0"]
+        w8, b8 = pack_upsample_weights(up_p["kernel"], up_p["bias"],
+                                       up_bn["scale"], up_bn["bias"],
+                                       ubs["mean"], ubs["var"], eps=BN_EPS)
+        got = upsample_res3d_fused(x, w8, b8, skip,
+                                   [_folded_res_params(bvs, c)],
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
