@@ -1071,7 +1071,10 @@ def upsample_res3d_fused(x: jnp.ndarray, w8: jnp.ndarray, b8: jnp.ndarray,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 112 MB of the 128 MB physical: the flagship upsample-headed
+            # chain's stack allocation measures 103.7 MB on current
+            # compilers (a 100 MB cap OOMed the bench compile).
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
