@@ -36,15 +36,17 @@ def _sync(x):
 
 # Estimated reference throughput (PyTorch fp32, batch 10 eval) on A100 for
 # the 4-view volumetric pipeline. Basis (no A100 in this container, so this
-# is a FLOPs-derived estimate, not a measurement): the pipeline is ~500
-# GFLOP/frame (see the cost-analysis printout below, which measures the
-# exact HLO FLOPs on the compiled graph); A100 TF32 dense peak is 156
-# TFLOP/s, and PyTorch eager conv pipelines typically realize 15-25% MFU,
-# bounding the math at 47-78 fps — but the reference unprojects with a
-# *Python per-sample loop* around grid_sample (op.py:106 "TODO: speed up
-# this loop", ~V*B host dispatches per batch) which serializes the hot
-# path; 25 fps assumes that loop halves-to-thirds the math-bound rate.
-# The printed mfu_pct anchors our own number against physics instead.
+# is a FLOPs-derived estimate, not a measurement): the pipeline is 602
+# GFLOP/frame analytic (lt_tpu/utils/flops.py, convention FLOPs = 2*MACs,
+# validated against XLA cost_analysis in tests/test_flops.py: backbone
+# 305 G + V2V 296 G + ~1 G of unproject/soft-argmax); A100 TF32 dense peak
+# is 156 TFLOP/s, and PyTorch eager conv pipelines typically realize
+# 15-25% MFU, bounding the math at 39-65 fps — but the reference
+# unprojects with a *Python per-sample loop* around grid_sample (op.py:106
+# "TODO: speed up this loop", ~V*B host dispatches per batch) which
+# serializes the hot path; 25 fps assumes that loop roughly halves the
+# math-bound rate.  The printed mfu_pct anchors our own number against
+# physics instead.
 A100_EST_FPS = 25.0
 
 # v5e bf16 dense peak (197 TFLOP/s per chip). Override for other chips.
@@ -62,6 +64,8 @@ def main():
                         help="timed windows; the median of the best half is "
                              "reported (tunnel-noise robust AND "
                              "run-to-run reproducible)")
+    parser.add_argument("--skip-f32", action="store_true",
+                        help="skip the f32 (strict-parity dtype) timing")
     args = parser.parse_args()
 
     import jax
@@ -79,11 +83,6 @@ def main():
         batch, image_size, volume, layers = args.batch or 8, 384, 64, 152
     n_views, num_joints = 4, 17
 
-    model = VolumetricTriangulationNet(
-        num_joints=num_joints, num_layers=layers, volume_size=volume,
-        cuboid_side=2500.0, volume_aggregation_method="softmax", kind="mpii",
-        compute_dtype=jnp.bfloat16)
-
     from __graft_entry__ import _example_batch
 
     images, proj, keypoints = _example_batch(batch, n_views, image_size,
@@ -92,62 +91,81 @@ def main():
     proj = jnp.asarray(proj)
     keypoints = jnp.asarray(keypoints)
 
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
-        images[:1], proj[:1], keypoints[:1])
+    hlo_flops = {}
 
-    # NOTE: variables must be jit *arguments* — closing over them embeds
-    # every weight as an HLO constant (huge compile requests, slow compiles).
-    @jax.jit
-    def forward(variables, images, proj, keypoints):
-        return model.apply(variables, images, proj, keypoints,
-                           train=False).keypoints_3d
+    def measure(dtype):
+        """fps for one compute dtype (median of the best half of N timed
+        windows: the axon tunnel adds tail latency that any single window
+        inherits — a plain best-of-N is a max-statistic that drifts run to
+        run; the median over the clean windows is tunnel-robust AND
+        reproducible)."""
+        model = VolumetricTriangulationNet(
+            num_joints=num_joints, num_layers=layers, volume_size=volume,
+            cuboid_side=2500.0, volume_aggregation_method="softmax",
+            kind="mpii", compute_dtype=dtype)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)},
+            images[:1], proj[:1], keypoints[:1])
 
-    # Warmup/compile.
-    out = forward(variables, images, proj, keypoints)
-    _sync(out)
+        # NOTE: variables must be jit *arguments* — closing over them
+        # embeds every weight as an HLO constant (oversized compiles).
+        @jax.jit
+        def forward(variables, images, proj, keypoints):
+            return model.apply(variables, images, proj, keypoints,
+                               train=False).keypoints_3d
 
-    # Estimate the sync round-trip so it can be subtracted.
-    t0 = time.perf_counter()
-    for _ in range(5):
+        out = forward(variables, images, proj, keypoints)  # warmup/compile
         _sync(out)
-    rtt = (time.perf_counter() - t0) / 5
-
-    # Median of the best half of N windows: the axon tunnel adds tail
-    # latency that any single window inherits (a plain best-of-N is still a
-    # max-statistic whose value drifts run to run); the median over the
-    # clean windows is both tunnel-robust and reproducible.
-    dts = []
-    for _ in range(max(args.repeats, 1)):
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = forward(variables, images, proj, keypoints)
-        _sync(out)
-        dts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
-    dts.sort()
-    best_half = dts[:max(1, len(dts) // 2)]
-    dt = float(np.median(best_half))
+        for _ in range(5):
+            _sync(out)
+        rtt = (time.perf_counter() - t0) / 5  # sync round-trip, subtracted
 
-    fps = batch * args.iters / dt
+        dts = []
+        for _ in range(max(args.repeats, 1)):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = forward(variables, images, proj, keypoints)
+            _sync(out)
+            dts.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+        dts.sort()
+        dt = float(np.median(dts[:max(1, len(dts) // 2)]))
 
-    # MFU anchor.  XLA's cost_analysis() cannot see inside pallas
-    # custom-calls (it reports only ~88 GFLOP/frame — the backbone), so
-    # the model FLOPs come from the analytic count of the full pipeline at
-    # flagship shapes: ResNet-152@384^2 x4 views ~128 G + V2V@64^3 ~280 G
-    # + unprojection (nominal bilinear) ~1 G ~= 410 GFLOP/frame.  The HLO
-    # number is reported alongside for reference.
-    flops_per_frame = 410e9 if not args.quick else 0.0
-    hlo_flops = 0.0
-    try:
-        cost = forward.lower(variables, images, proj,
-                             keypoints).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        hlo_flops = float(cost.get("flops", 0.0)) / batch
-        if not flops_per_frame:
-            flops_per_frame = hlo_flops
-    except Exception:
-        pass
+        try:
+            cost = forward.lower(variables, images, proj,
+                                 keypoints).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            hlo_flops[dtype] = float(cost.get("flops", 0.0)) / batch
+        except Exception:
+            pass
+        return batch * args.iters / dt
+
+    fps = measure(jnp.bfloat16)  # the headline dtype
+
+    # f32 = the dtype the strict-parity eval policy prescribes
+    # (engine/factory.py: bf16 defaults false for eval configs; ROADMAP
+    # "Dtype policy" — trained bf16 delta 0.2 mm exceeds the 0.1 mm
+    # budget).  Report the throughput a strict-parity user actually gets.
+    fps_f32 = None
+    if not args.skip_f32:
+        try:
+            fps_f32 = measure(jnp.float32)
+        except Exception as e:
+            print(f"f32 measurement failed: {e}", file=sys.stderr)
+
+    # MFU anchor: analytic model FLOPs (lt_tpu/utils/flops.py; convention
+    # FLOPs = 2*MACs, full-kernel taps).  XLA's cost_analysis() is NOT
+    # usable here: it cannot see inside the Pallas custom-calls (V2V +
+    # unproject) and counts nn.scan bodies once instead of trip-count
+    # times (the scanned rn152 trunk), so it reports only ~88 GFLOP/frame;
+    # it is also padding-aware (a few % below analytic for SAME convs).
+    # Validated against each other in tests/test_flops.py; the HLO number
+    # rides along for reference.
+    from lt_tpu.utils.flops import vol_pipeline_flops
+
+    flops_per_frame = vol_pipeline_flops(layers, image_size, volume,
+                                         n_views, num_joints)["total"]
     mfu_pct = 100.0 * fps * flops_per_frame / TPU_PEAK_FLOPS
 
     result = {
@@ -156,8 +174,11 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_EST_FPS, 2),
         "mfu_pct": round(mfu_pct, 2),
+        "fps_bf16": round(fps, 2),
+        "fps_f32": round(fps_f32, 2) if fps_f32 else None,
         "gflops_per_frame": round(flops_per_frame / 1e9, 1),
-        "hlo_gflops_per_frame": round(hlo_flops / 1e9, 1),
+        "hlo_gflops_per_frame": round(
+            hlo_flops.get(jnp.bfloat16, 0.0) / 1e9, 1),
     }
     print(json.dumps(result))
     return 0
