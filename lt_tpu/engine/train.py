@@ -208,6 +208,19 @@ def init_model_state(config, model, sample_batch, seed: int = 42
                 sd, num_layers=bb.num_layers, num_joints=bb.num_joints)
             bb_params = imported["params"]
             bb_stats = imported["batch_stats"]
+        elif bb.checkpoint.endswith(".npz"):
+            # Compact fixture (lt_tpu.utils.fixture): a pretrained backbone
+            # exported as f16 — the committed synthetic-domain stand-in for
+            # the reference's pretrained 2D pose net.  Shape-checked merge
+            # as below (final_layer may be absent or differently sized).
+            from lt_tpu.utils import fixture
+
+            src = fixture.load_backbone_npz(bb.checkpoint)
+            bb_params = _merge_matching(variables["params"]["backbone"],
+                                        src["params"])
+            bb_stats = _merge_matching(
+                variables["batch_stats"].get("backbone", {}),
+                src["batch_stats"])
         else:
             src = ckpt.restore_raw(ckpt.resolve_checkpoint_dir(bb.checkpoint))
             # Shape-checked merge: source models may carry different heads
