@@ -19,9 +19,12 @@ import numpy as np
 from lt_tpu.utils import img as img_utils
 
 
-def _look_at_camera(center: np.ndarray, focal: float, image_size: int):
-    """R, t, K for a camera at ``center`` looking at the origin."""
-    z = -center / np.linalg.norm(center)
+def _look_at_camera(center: np.ndarray, focal: float, image_size: int,
+                    target: Optional[np.ndarray] = None):
+    """R, t, K for a camera at ``center`` looking at ``target`` (origin by
+    default)."""
+    direction = center if target is None else center - target
+    z = -direction / np.linalg.norm(direction)
     up = np.array([0.0, 0.0, 1.0])
     x = np.cross(up, z)
     x = x / np.linalg.norm(x)
@@ -45,7 +48,7 @@ class SyntheticMultiViewDataset:
                  blob_sigma: float = 4.0,
                  pelvis_joint: int = 6,
                  skeleton_radius: float = 400.0,
-                 world_radius: float = 500.0,
+                 world_radius: float = 250.0,
                  camera_distance: float = 4000.0,
                  norm_image: bool = True,
                  seed: int = 0,
@@ -75,18 +78,30 @@ class SyntheticMultiViewDataset:
         self._image_cache: Optional[dict] = {} if cache_images else None
 
         rng = np.random.RandomState(seed)
-        # Fixed camera ring (shared across samples, like a capture studio).
+        # Fixed camera ring (shared across samples, like a capture studio),
+        # AIMED AT THE PELVIS-DISTRIBUTION CENTER (0, 0, pelvis-z mean) and
+        # zoomed so the skeleton fills the frame.  The r4 geometry looked at
+        # the origin with the frame sized to ±(skeleton+world) extent: the
+        # skeleton spanned only ~38 px of a 128 px frame and, under
+        # winner-takes-pixel compositing, 2.5% of joints were HIDDEN (their
+        # blob never won a pixel near the true projection) — a measured 3D
+        # floor of 78 mm that capped volumetric training at ~380 mm
+        # (ROADMAP.md round 5).  Aiming at the pelvis center with
+        # margin 0.9 puts the skeleton at ~67 px span, 0.1% hidden joints,
+        # 3D floor 5.1 mm (probe: 24 samples x 4 views, color-matched
+        # argmax detector + DLT).
+        self.look_target = np.array([0.0, 0.0, 1000.0])
         self.cameras = []
         for i in range(n_views):
             angle = 2 * np.pi * i / n_views + rng.uniform(-0.15, 0.15)
             height = rng.uniform(1000.0, 2000.0)
             center = np.array([camera_distance * np.cos(angle),
                                camera_distance * np.sin(angle), height])
-            # Focal such that the ±(skeleton+world) extent spans ~2/3 of the
-            # frame at the camera distance — keeps DLT well-conditioned.
+            # One ±(skeleton+world) extent maps to 90% of the half-frame.
             extent = skeleton_radius + world_radius
-            focal = (image_size / 3.0) * camera_distance / extent
-            self.cameras.append(_look_at_camera(center, focal, image_size))
+            focal = (image_size / 2.0) * 0.9 * camera_distance / extent
+            self.cameras.append(_look_at_camera(center, focal, image_size,
+                                                target=self.look_target))
 
         # Per-joint colors (fixed): joint identity signal for the backbone.
         # Evenly spaced hues at full saturation — random RGB triples from

@@ -78,8 +78,9 @@ def test_render_statistics_pinned():
     ds = _dataset()
     img = ds._render_view(ds.keypoints_world(0), 0).astype(np.float32) / 255
     # Sparse blobs on black: mean intensity in a narrow, renderer-specific
-    # band (measured 0.0194 on the current renderer).
-    assert 0.010 < img.mean() < 0.040, img.mean()
+    # band (measured 0.0386 on the current pelvis-aimed zoomed geometry;
+    # the old origin-aimed geometry measured 0.0194).
+    assert 0.025 < img.mean() < 0.055, img.mean()
     # Peak saturation: blob centers reach full-saturation colors.
     assert img.max() > 0.97
     # Background is black (no ambient term).
