@@ -49,12 +49,22 @@ def restore_raw(directory: str, name: str = "state"):
     reference's own vol workflow: human36m_vol_softmax.yaml points
     model.backbone.checkpoint at a pretrained alg model) — where the full
     source TrainState structure isn't available to build a template.
+
+    Backend-agnostic: the saved sharding metadata is ignored and every
+    leaf restores as a host numpy array — a checkpoint written on the TPU
+    restores on the CPU mesh (fixture export, CPU-mesh tests) and vice
+    versa.
     """
+    import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, name))
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def resolve_checkpoint_dir(path: str) -> str:

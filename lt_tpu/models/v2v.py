@@ -512,9 +512,13 @@ class EncoderDecoder(nn.Module):
             chain path the pair runs as ONE pallas_call (proj-headed when
             res widens) with the inter-block volume never in HBM and the
             pool emitted from the resident blocks."""
-            if deep_chain and x.shape[1] % 4 == 0:
-                from lt_tpu.ops.pallas.res3d import res3d_chain_fused
+            from lt_tpu.ops.pallas.res3d import (chain_feasible,
+                                                 res3d_chain_fused)
 
+            if (deep_chain and x.shape[1] % 4 == 0
+                    and chain_feasible(x.shape[0], x.shape[2], x.shape[3],
+                                       x.shape[-1], feats, 2, dt,
+                                       emit_pooled=True)):
                 p1 = Res3DBlock(feats, dt, name=res_name)(
                     x, train, return_folded=True)
                 xd = jnp.zeros((1, 1, 1, 1, feats), x.dtype)
@@ -529,9 +533,13 @@ class EncoderDecoder(nn.Module):
         def dec_pair(up_feats, up_name, res_name, x, skip):
             """``x = up(x) + skip; x = res(x)`` as ONE pallas_call (the
             upsampled volume never round-trips HBM)."""
-            if deep_chain and x.shape[1] % 2 == 0:
-                from lt_tpu.ops.pallas.res3d import upsample_res3d_fused
+            from lt_tpu.ops.pallas.res3d import (ups_chain_feasible,
+                                                 upsample_res3d_fused)
 
+            if (deep_chain and x.shape[1] % 2 == 0
+                    and ups_chain_feasible(x.shape[0], 2 * x.shape[2],
+                                           2 * x.shape[3], x.shape[-1],
+                                           up_feats, up_feats, 1, dt)):
                 w8, b8 = Upsample3DBlock(up_feats, dt, name=up_name)(
                     x, train, return_folded=True)
                 xd = jnp.zeros((1, 1, 1, 1, up_feats), x.dtype)
@@ -617,8 +625,15 @@ class V2VModel(nn.Module):
             basic, res, encdec = Basic3DBlock, Res3DBlock, EncoderDecoder
         x = x.astype(dt)
         x = basic(16, 7, dt, name="front_basic")(x, train)
+        from lt_tpu.ops.pallas.res3d import chain_feasible as _cf
+
+        # Feasibility at fold=1 (chain_stack_bytes): the f32 flagship
+        # front chain's measured 111.3 MB stack exceeds the axon compiler's
+        # ~109 MB scoped limit, so f32 falls back to the unfused path here.
         chain = (_use_pallas_res3d(train, x.shape[1])
-                 and x.shape[1] % 4 == 0)
+                 and x.shape[1] % 4 == 0
+                 and _cf(x.shape[0], x.shape[2], x.shape[3], 32, 32, 3, dt,
+                         emit_pooled=True))
         front_chain = None
         if chain:
             # The consecutive front blocks run as ONE chained kernel
@@ -664,8 +679,12 @@ class V2VModel(nn.Module):
         # for the separate upsample + back_res kernels.
         import os
 
+        from lt_tpu.ops.pallas.res3d import ups_chain_feasible as _ucf
+
         chain_back = (fused_back and x.shape[1] % 4 == 0
-                      and os.environ.get("LT_TPU_CHAIN_BACK", "1") != "0")
+                      and os.environ.get("LT_TPU_CHAIN_BACK", "1") != "0"
+                      and _ucf(x.shape[0], x.shape[2], x.shape[3], 32, 32,
+                               self.output_channels, 1, dt))
         enc_out = encdec(dt, name="encoder_decoder")(x, train, front_chain,
                                                      chain_back)
         x = enc_out[0] if chain_back else enc_out

@@ -532,6 +532,94 @@ def _res3d_kernel_m2_chain(x_a0, x_a1, x_b0, x_b1, x_skip, *rest,
                                              c).astype(po_ref.dtype)
 
 
+def _lane_bytes(c: int, itemsize: int) -> int:
+    """VMEM bytes per (row, c) element row: lanes pad to multiples of 128.
+
+    A (rows, c) buffer with c <= 128 occupies a full 128-lane tile per row
+    — the 4x inflation for c=32 is exactly what the r5 eval-step OOM dump
+    showed (window 'unpadded' 4 MB reported as 32 MB = x4 lanes x2
+    buffers)."""
+    return ((c + 127) // 128) * 128 * itemsize
+
+
+def _isz(dt) -> int:
+    return 2 if jnp.dtype(dt) == jnp.bfloat16 else 4
+
+
+# Register-allocator spill slots scale with the rows resident in one grid
+# step: the r5 OOM dump measured 49.3 MB of spills at rows=8192/f32
+# (~6 KB/row) and the estimator below reproduces the f32 flagship chain's
+# measured 111.3 MB stack within 2%.  Model: ~1536 bytes/row/itemsize.
+_SPILL_PER_ROW = 1536
+
+#: Stack budget for choosing the batch fold.  The physical VMEM is 128 MB
+#: and the axon remote compiler has been observed to enforce ~109 MB of
+#: scoped headroom — 96 MB leaves slack for compiler drift (the ~10%
+#: guideline, SKILL.md).
+_CHAIN_SAFE_BYTES = 96 * 1024 * 1024
+
+
+def chain_stack_bytes(fold: int, yz: int, cin: int, c: int, n_blocks: int,
+                      dtype, emit_pooled: bool = False,
+                      out_dtype=None) -> int:
+    """Estimated VMEM stack of :func:`res3d_chain_fused` at a given fold.
+
+    Terms: scratch keeps/hist (lane-padded), 2x-buffered in/out windows
+    (lane-padded — the dominant cost at c=32), and a spill-slot proxy.
+    Calibrated against the f32 flagship front chain (est 113 MB vs
+    111.3 MB measured) and the r5 32^3 eval OOM (est ~140 vs 144 MB)."""
+    i = _isz(dtype)
+    io = _isz(out_dtype or dtype)
+    ki = 4 if jnp.dtype(dtype) == jnp.float32 else i
+    rows = fold * yz
+    scratch = n_blocks * (2 * _lane_bytes(2 * c, ki) + _lane_bytes(c, i))
+    scratch += (n_blocks - 1) * _lane_bytes(4 * c, i)
+    if emit_pooled:
+        scratch += 2 * _lane_bytes(c, 4)
+    xw = 4 * 2 * _lane_bytes(cin, i)          # 4 plane inputs, 2 buffers
+    x5 = 4 * 2 * _lane_bytes(cin, i)          # quad input window
+    outw = 4 * 2 * _lane_bytes(c, io)
+    poolw = 2 * _lane_bytes(c, io) // 2 if emit_pooled else 0
+    spill = _SPILL_PER_ROW * i
+    return rows * (scratch + xw + x5 + outw + poolw + spill)
+
+
+def ups_chain_stack_bytes(fold: int, yz: int, cin: int, c: int,
+                          out_c: int, n_blocks: int, dtype,
+                          out_dtype=None) -> int:
+    """Estimated VMEM stack of :func:`upsample_res3d_fused` (see
+    :func:`chain_stack_bytes`; yz here is the POST-upsample plane size).
+    Reproduces the r5 32^3 f32 eval OOM (est ~140 MB vs 144.3 measured,
+    fold 8) and stays comfortably under budget at the flagship shape."""
+    i = _isz(dtype)
+    io = _isz(out_dtype or dtype)
+    ki = 4 if jnp.dtype(dtype) == jnp.float32 else i
+    rows = fold * yz
+    scratch = n_blocks * (2 * _lane_bytes(2 * c, ki) + _lane_bytes(c, i)
+                          + _lane_bytes(4 * c, i))
+    scratch += _lane_bytes(c, 4) // 2 + _lane_bytes(c, 4)   # zb + yb
+    xw = 2 * 2 * _lane_bytes(cin, i) // 4     # two x windows, yzs = yz/4
+    skipw = 4 * 2 * _lane_bytes(c, i)
+    outw = 4 * 2 * _lane_bytes(out_c, io)
+    spill = _SPILL_PER_ROW * i
+    return rows * (scratch + xw + skipw + outw + spill)
+
+
+def chain_feasible(batch: int, size_y: int, size_z: int, cin: int, c: int,
+                   n_blocks: int, dtype, emit_pooled: bool = False) -> bool:
+    """True if res3d_chain_fused fits VMEM at its smallest fold (1)."""
+    return chain_stack_bytes(1, size_y * size_z, cin, c, n_blocks, dtype,
+                             emit_pooled) <= _CHAIN_SAFE_BYTES
+
+
+def ups_chain_feasible(batch: int, size_y: int, size_z: int, cin: int,
+                       c: int, out_c: int, n_blocks: int, dtype) -> bool:
+    """True if upsample_res3d_fused fits VMEM at fold 1 (post-upsample
+    size_y/size_z)."""
+    return ups_chain_stack_bytes(1, size_y * size_z, cin, c, out_c,
+                                 n_blocks, dtype) <= _CHAIN_SAFE_BYTES
+
+
 def res3d_chain_fused(x: jnp.ndarray, blocks,
                       out_dtype=None, interpret: bool = False,
                       force_fold: int = None, emit_pooled: bool = False):
@@ -567,15 +655,21 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
     keep_dtype = (jnp.float32 if os.environ.get("LT_TPU_RES3D_F32_KEEPS")
                   or x.dtype == jnp.float32 else x.dtype)
 
-    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
-    per_row = ((18 * c * itemsize + 4 * c * 4) * 2
-               + (8 * c * 4 + 3 * c * 4 + 4 * c * itemsize) * n_blocks)
-    budget = 56 * 1024 * 1024 * 2 // itemsize
+    # Start from the measured-good heuristic (fold=1 at pipeline-filling
+    # planes, batch-folded below — larger folds at yz >= 4096 measured
+    # SLOWER: 115.7 -> 114.2 fps when the budget alone allowed fold 2 at
+    # the flagship decoder), then REDUCE until the estimated VMEM stack
+    # (lane-padded windows + scratch + spill proxy, chain_stack_bytes)
+    # fits.  The unbudgeted heuristic OOMed the f32 32^3 eval step at
+    # batch 8: 144.3 MB of 128 MB physical (round-5 log).
     fold = force_fold if force_fold is not None else (
         1 if yz >= 4096 else b)
     assert b % fold == 0, (b, fold)
-    while fold > 1 and (fold * yz * per_row > budget or b % fold != 0):
-        fold -= 1
+    if force_fold is None:
+        while fold > 1 and (b % fold != 0 or chain_stack_bytes(
+                fold, yz, cin, c, n_blocks, x.dtype, emit_pooled,
+                out_dtype) > _CHAIN_SAFE_BYTES):
+            fold -= 1
     groups = b // fold
     rows = fold * yz
     nq = size_x // 4
@@ -654,7 +748,11 @@ def res3d_chain_fused(x: jnp.ndarray, blocks,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 115 MB of the 128 MB physical: the f32 flagship chain's
+            # measured stack is 111.3 MB (the bf16 one is well under
+            # 100 MB) — the same headroom reasoning as the upsample chain
+            # below.
+            vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
@@ -1004,8 +1102,18 @@ def upsample_res3d_fused(x: jnp.ndarray, w8: jnp.ndarray, b8: jnp.ndarray,
     keep_dtype = (jnp.float32 if os.environ.get("LT_TPU_RES3D_F32_KEEPS")
                   or x.dtype == jnp.float32 else x.dtype)
 
-    fold = force_fold if force_fold is not None else (1 if yz >= 4096 else b)
+    # Measured-good starting heuristic, then estimator-driven REDUCTION
+    # (see res3d_chain_fused): the unbudgeted version put all 8 batch
+    # samples' windows + spill slots in VMEM at once on the f32 32^3 eval
+    # step — 144.3 MB of the 128 MB physical (round-5 OOM).
+    fold = force_fold if force_fold is not None else (
+        1 if yz >= 4096 else b)
     assert b % fold == 0, (b, fold)
+    if force_fold is None:
+        while fold > 1 and (b % fold != 0 or ups_chain_stack_bytes(
+                fold, yz, cin, c, out_c, n_blocks, x.dtype,
+                out_dtype) > _CHAIN_SAFE_BYTES):
+            fold -= 1
     groups = b // fold
     rows = fold * yz
     nq = xs // 2

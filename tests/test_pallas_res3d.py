@@ -379,3 +379,40 @@ def test_dec_pair_chain_shapes(rng):
                                    interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_chain_vmem_estimators():
+    """The VMEM-stack estimators that drive batch-fold selection and the
+    pallas/XLA feasibility gates (round-5 fix for the f32 eval OOM).
+
+    Calibration anchors, measured on v5e (round-5 OOM dumps):
+    - f32 32^3 batch-8 upsample chain at fold 8: 144.3 MB (> the 128 MB
+      physical VMEM — the crash the estimator must predict);
+    - f32 flagship (64^3) front chain at fold 1: 111.3 MB, which exceeds
+      the axon compiler's ~109 MB scoped limit -> must gate infeasible;
+    - bf16 flagship front chain: well under 100 MB -> must stay feasible.
+    """
+    import jax.numpy as jnp
+
+    from lt_tpu.ops.pallas.res3d import (chain_feasible, chain_stack_bytes,
+                                         ups_chain_feasible,
+                                         ups_chain_stack_bytes)
+
+    mb = 1024 * 1024
+    # The r4 heuristic's fold=8 choice at the 32^3 f32 eval: estimator
+    # must flag it as over-physical (measured 144.3 MB).
+    est = ups_chain_stack_bytes(8, 32 * 32, 32, 32, 17, 1, jnp.float32)
+    assert 130 * mb < est < 160 * mb, est / mb
+    # A reduced fold must fit.
+    assert ups_chain_stack_bytes(2, 32 * 32, 32, 32, 17, 1,
+                                 jnp.float32) < 96 * mb
+    # f32 flagship front chain (meas. 111.3 MB > ~109 axon): infeasible.
+    assert not chain_feasible(8, 64, 64, 32, 32, 3, jnp.float32,
+                              emit_pooled=True)
+    est = chain_stack_bytes(1, 64 * 64, 32, 32, 3, jnp.float32, True)
+    assert 96 * mb < est < 125 * mb, est / mb
+    # bf16 flagship front chain: feasible (the shipping bench path).
+    assert chain_feasible(8, 64, 64, 32, 32, 3, jnp.bfloat16,
+                          emit_pooled=True)
+    # bf16 flagship upsample-headed back chain: feasible.
+    assert ups_chain_feasible(8, 64, 64, 32, 32, 17, 1, jnp.bfloat16)
