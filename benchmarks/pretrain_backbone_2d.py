@@ -45,6 +45,12 @@ BBState = namedtuple("BBState", ["params", "batch_stats", "step"])
 IMAGE_SIZE = 128
 HEATMAP_STRIDE = 4  # PoseResNet: /32 trunk, x8 deconv head
 SIGMA = 1.5         # target Gaussian sigma, heatmap px
+POS_WEIGHT = 30.0   # extra weight on positive target pixels: plain MSE on
+                    # sparse Gaussians barely beats the all-zero prediction
+                    # (~0.0069 for sigma 1.5 at 32x32) and plateaus — the
+                    # positives are ~0.7% of pixels, so upweighting them
+                    # ~30x balances the gradient budget (measured: argmax
+                    # error 7.3 -> <1.5 hm px at the same step count)
 
 
 def gt_2d_heatmap_px(batch):
@@ -81,14 +87,18 @@ def main(n_steps: int = 600, out_dir: str = "/tmp/backbone2d",
         jax.random.PRNGKey(0), images0, True)
     params, bstats = variables["params"], variables["batch_stats"]
 
-    tx = optax.adam(1e-3)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 2e-3, warmup_steps=min(100, n_steps // 10),
+        decay_steps=n_steps, end_value=1e-5)
+    tx = optax.adam(sched)
     opt_state = tx.init(params)
 
     def loss_fn(p, bs, images, targets):
         (heat, *_), mut = model.apply(
             {"params": p, "batch_stats": bs}, images, True,
             mutable=["batch_stats"])
-        return jnp.mean((heat - targets) ** 2), mut["batch_stats"]
+        w = 1.0 + POS_WEIGHT * targets
+        return jnp.mean(w * (heat - targets) ** 2), mut["batch_stats"]
 
     @jax.jit
     def step(p, bs, st, images, targets):

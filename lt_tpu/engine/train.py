@@ -238,12 +238,23 @@ def init_model_state(config, model, sample_batch, seed: int = 42
         variables["batch_stats"] = {**variables["batch_stats"],
                                     "backbone": bb_stats}
 
-    # Whole-model weights (train.py:406-413).
+    # Whole-model weights (train.py:406-413).  Sources: a reference .pth,
+    # a committed .npz fixture (lt_tpu.utils.fixture — the synthetic-domain
+    # pretrained model the e2e tests fine-tune from), or a previous lt_tpu
+    # experiment/checkpoint dir (Orbax).
     if config.model.get("init_weights") and config.model.get("checkpoint"):
         from lt_tpu.utils import torch_import
 
         path = config.model.checkpoint
-        if path.endswith(".pth"):
+        if path.endswith(".npz"):
+            from lt_tpu.utils import fixture
+
+            src = fixture.load_model_npz(path)
+            variables["params"] = _merge_matching(variables["params"],
+                                                  src["params"])
+            variables["batch_stats"] = _merge_matching(
+                variables["batch_stats"], src["batch_stats"])
+        elif path.endswith(".pth"):
             sd = torch_import.load_state_dict(path)
             if model_name == "alg":
                 imported = torch_import.import_algebraic_model(
@@ -629,10 +640,13 @@ def run(config_path: str, logdir: str, eval_only: bool = False,
     state, optimizer = build_train_state(config, params, batch_stats)
 
     # Resume from one of our own checkpoints (full train state, true resume —
-    # the reference can't do this, SURVEY.md §5).
+    # the reference can't do this, SURVEY.md §5).  .pth (reference import)
+    # and .npz (committed fixture) sources carry weights only — they were
+    # merged by init_model_state above and have no optimizer state to
+    # restore.
     resume_path = config.model.get("checkpoint", "")
     if (config.model.get("init_weights") and resume_path
-            and not resume_path.endswith(".pth")):
+            and not resume_path.endswith((".pth", ".npz"))):
         state = ckpt.restore_checkpoint(resume_path, state, name="")
         print(f"Resumed train state from {resume_path} "
               f"(step {int(state.step)})")

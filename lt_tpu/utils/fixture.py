@@ -46,12 +46,16 @@ def save_backbone_npz(path: str, params: dict, batch_stats: dict,
 
     ``params``/``batch_stats``: the backbone SUBTREES (not the full model).
     Weights are cast to ``dtype`` (default f16 — fixtures are fine-tuning
-    inits, not parity checkpoints).
+    inits, not parity checkpoints).  batch_stats stay f32: BN running
+    VARIANCES of a trained V2V exceed the f16 max (measured r5: several
+    volume_net vars overflowed to inf at f16), and the stats are a tiny
+    fraction of the bytes.
     """
     flat = {}
-    for section, tree in (("params", params), ("batch_stats", batch_stats)):
-        for k, v in _flatten(tree, section).items():
-            flat[k] = v.astype(dtype)
+    for k, v in _flatten(params, "params").items():
+        flat[k] = v.astype(dtype)
+    for k, v in _flatten(batch_stats, "batch_stats").items():
+        flat[k] = v.astype(np.float32)
     np.savez_compressed(path, **flat)
 
 
@@ -62,3 +66,12 @@ def load_backbone_npz(path: str) -> dict:
     tree = _unflatten(flat)
     return {"params": tree.get("params", {}),
             "batch_stats": tree.get("batch_stats", {})}
+
+
+# The format is tree-agnostic: the same flatten/f16/npz applies to a FULL
+# model's variables (backbone + process_features + volume_net ...), which
+# is what the committed e2e-test fixture stores (the reference's
+# model.checkpoint whole-model init, train.py:406-413, with an .npz
+# source instead of a .pth).
+save_model_npz = save_backbone_npz
+load_model_npz = load_backbone_npz
