@@ -365,13 +365,18 @@ def _flagship_case():
     kp_max = float(np.abs(np.asarray(kp_f, np.float32)
                           - np.asarray(kp_x, np.float32)).max())
     pitch = 2500.0 / 63.0
-    # Budgets (measured r4 on v5e with bf16 res3d keep buffers: TV 0.075,
-    # window 0.90 mm, global 34 mm — random-weight diffuse volumes spread
-    # bf16 accumulation noise across all 262k voxels, so TV is the loose
-    # distribution check and the windowed keypoint is the tight mm-level
-    # protection target):
-    # TV <= 0.12, windowed keypoint <= 2 mm, global keypoint <= 2 pitches.
-    margins = np.asarray([tv / 0.12, kp_win_err / 2.0,
+    # Budgets (measured r4+r5 on v5e with bf16 res3d keep buffers: TV
+    # 0.075, window 0.90 mm, global 34 mm — random-weight diffuse volumes
+    # spread bf16 accumulation noise across all 262k voxels, so TV is the
+    # loose distribution check and the windowed keypoint is the tight
+    # mm-level protection target).  Run-to-run spread is ZERO (5 identical
+    # composite margins across r5 runs: fixed seeds, deterministic
+    # compile), so the budgets guard COMPILER drift, set at >= 3x the
+    # measured values: TV <= 0.25, windowed keypoint <= 3 mm, global
+    # keypoint <= 2 voxel pitches (2.3x measured).  A real kernel bug
+    # lands orders of magnitude past these (TV -> ~1, keypoints -> 100s
+    # of mm).
+    margins = np.asarray([tv / 0.25, kp_win_err / 3.0,
                           kp_max / (2 * pitch)])
     return margins, np.zeros_like(margins), 1.0
 
