@@ -813,13 +813,22 @@ def res3d_block_fused(
     b1r = b1.reshape(1, c).astype(jnp.float32)
     b2r = b2.reshape(1, c).astype(jnp.float32)
 
-    # VMEM budget: P (M, 18C) x2 + Q (M, 4C) f32 x2 + keeps + blocks.
-    # Scoped-vmem headroom is calibrated for bf16; f32 inputs double the
-    # patch matrices AND Mosaic's temporaries, so halve the budget with
-    # itemsize (measured: fold=2 f32 at 32ch hit 109.5M of the 109M limit).
+    # VMEM budget via the calibrated estimator (chain_stack_bytes with
+    # n_blocks=1), with the single-block kernel's spill/temporary factor
+    # DOUBLED: its bf16 32^3 batch-8 graph overflowed the 100 MB stack cap
+    # at fold 8 (r5 bf16_delta compile) even though the chain-calibrated
+    # estimate was ~82 MB — the m2 single-block schedule (proj skip,
+    # standalone pool, per-plane tap masks) spills roughly 2x the chain's
+    # per-row bytes.  The doubled proxy puts that shape at ~132 MB > the
+    # 96 MB budget, so it folds down to 4 (measured-safe), while leaving
+    # the fold=1 flagship plane untouched.
     itemsize = 2 if x.dtype == jnp.bfloat16 else 4
-    per_row = (18 * c * itemsize + 4 * c * 4) * 2 + 8 * c * 4 + 3 * c * 4
-    budget = 56 * 1024 * 1024 * 2 // itemsize
+
+    def est(f):
+        return (chain_stack_bytes(f, yz, cin, c, 1, x.dtype,
+                                  emit_pooled, out_dtype)
+                + f * yz * _SPILL_PER_ROW * itemsize)
+
     # fold=1 at large planes: M=YZ rows already fills the MXU pipeline and
     # the batch-boundary-free taps skip 16 of 18 VPU masks per plane pair.
     # ``force_fold`` overrides the heuristic (tests pin the fold=1 mask-free
@@ -827,7 +836,7 @@ def res3d_block_fused(
     fold = force_fold if force_fold is not None else (
         1 if yz >= 4096 else b)
     assert b % fold == 0, (b, fold)
-    while fold > 1 and (fold * yz * per_row > budget or b % fold != 0):
+    while fold > 1 and (est(fold) > _CHAIN_SAFE_BYTES or b % fold != 0):
         fold -= 1
     groups = b // fold
     rows = fold * yz
